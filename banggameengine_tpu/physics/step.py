@@ -1,0 +1,184 @@
+"""Physics step orchestration: one fixed step of the whole pipeline.
+
+The TPU image of ``PhysicsSystem::Update`` (``PhysicsSystem.cpp:1208-1328``)
+minus the Ensure/prune scans (topology is baked at scene build).  Order per
+step mirrors the reference:
+
+1. character input -> kinematic character move + depenetrate (Bullet runs the
+   character action inside ``stepSimulation``);
+2. dynamic bodies: gravity, narrowphase contacts (dense all-pairs +
+   ground plane), fixed-iteration Jacobi impulse solve, semi-implicit Euler
+   integrate (``stepSimulation``, ``:848-875``);
+3. trigger overlap diff -> Enter/Stay/Exit event arrays + oneShot
+   deactivation (``ProcessTriggerEvents``, ``:1017-1074``).
+
+The whole function is pure: ``(WorldState, InputFrame, StaticScene) ->
+(WorldState, StepEvents)``; ``jax.vmap`` over WorldState/InputFrame gives
+many-world stepping.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+
+from banggameengine_tpu import math3d
+from banggameengine_tpu.physics import character as chr_mod
+from banggameengine_tpu.physics import narrowphase as nf
+from banggameengine_tpu.physics import solver as sv
+from banggameengine_tpu.physics import triggers as tg
+from banggameengine_tpu.state import (
+    BODY_DYNAMIC,
+    COMP_CHARACTER,
+    COMP_COLLIDER,
+    COMP_RIGID_BODY,
+    InputFrame,
+    StaticScene,
+    StepEvents,
+    WorldState,
+)
+
+GROUND_FRICTION = 0.5  # implicit plane uses Bullet's default friction
+SOLVER_ITERATIONS = 10
+
+
+def physics_step(
+    state: WorldState,
+    inp: InputFrame,
+    static: StaticScene,
+    solver_iterations: int = SOLVER_ITERATIONS,
+) -> tuple[WorldState, StepEvents]:
+    dt = static.fixed_dt
+    n = state.capacity
+    alive = state.alive
+    has_collider = (state.comp_mask & (COMP_COLLIDER | COMP_CHARACTER)) != 0
+    is_dynamic = (static.body_type == BODY_DYNAMIC) & alive
+
+    pos = state.pos
+    quat = state.quat
+    vel = state.lin_vel
+    ang = state.ang_vel
+
+    # ------------------------------------------------------------------
+    # 1. characters (kinematic capsules, ghost semantics)
+    # ------------------------------------------------------------------
+    # Characters collide against everything except themselves; their capsule
+    # center is the entity position (visual offset is a render-side concern,
+    # PhysicsSystem.cpp:877-914).
+    c_slots = static.num_char_slots
+    char_ent = static.char_entity
+    safe_ce = jnp.where(char_ent >= 0, char_ent, 0)
+
+    obstacle_base = alive & has_collider
+
+    def one_char(slot):
+        ce = safe_ce[slot]
+        obstacle = obstacle_base & (jnp.arange(n) != ce)
+        new_c, new_vy, new_g = chr_mod.step_character(
+            pos[ce],
+            state.char_vel_y[ce],
+            state.char_on_ground[ce],
+            static.char_radius[slot], static.char_half_height[slot],
+            static.char_walk_speed[slot], static.char_jump_impulse[slot],
+            inp.move_forward, inp.move_right, inp.jump, inp.sprint, inp.cam_yaw,
+            pos, quat, static.shape_type, static.shape_size, obstacle,
+            static.gravity, dt, static.step_height, static.max_slope_cos,
+        )
+        return new_c, new_vy, new_g
+
+    new_centers, new_vys, new_grounds = jax.vmap(one_char)(jnp.arange(c_slots))
+    char_valid = (char_ent >= 0) & alive[safe_ce]
+
+    pos = pos.at[safe_ce].set(
+        jnp.where(char_valid[:, None], new_centers, pos[safe_ce])
+    )
+    char_vel_y = state.char_vel_y.at[safe_ce].set(
+        jnp.where(char_valid, new_vys, state.char_vel_y[safe_ce])
+    )
+    char_on_ground = state.char_on_ground.at[safe_ce].set(
+        jnp.where(char_valid, new_grounds, state.char_on_ground[safe_ce])
+    )
+
+    # ------------------------------------------------------------------
+    # 2. rigid-body dynamics
+    # ------------------------------------------------------------------
+    gravity_vec = jnp.asarray([0.0, 1.0, 0.0], jnp.float32) * static.gravity
+    vel = jnp.where(is_dynamic[:, None], vel + gravity_vec * dt, vel)
+
+    # narrowphase (dense all-pairs)
+    p_point, p_normal, p_depth, p_gvalid = nf.pair_contacts_dense(
+        pos, quat, static.shape_type, static.shape_size
+    )
+    g_point, g_normal, g_depth, g_gvalid = nf.ground_contacts(
+        pos, quat, static.shape_type, static.shape_size
+    )
+
+    # pair validity: upper triangle, both alive+collidable, layer filter both
+    # ways, at least one dynamic, neither is a character (characters are
+    # ghosts: they don't receive solver impulses and exert none)
+    idx = jnp.arange(n)
+    upper = idx[:, None] < idx[None, :]
+    is_char = (state.comp_mask & COMP_CHARACTER) != 0
+    solid = alive & has_collider & ~is_char
+    layer_ok = ((static.layer[:, None] & static.mask[None, :]) != 0) & (
+        (static.layer[None, :] & static.mask[:, None]) != 0
+    )
+    any_dyn = is_dynamic[:, None] | is_dynamic[None, :]
+    pair_ok = upper & solid[:, None] & solid[None, :] & layer_ok & any_dyn
+    p_valid = p_gvalid & (p_depth > 0.0) & pair_ok[:, :, None]
+
+    g_valid = (
+        g_gvalid
+        & (g_depth > 0.0)
+        & (is_dynamic & solid)[:, None]
+        & jnp.asarray(static.ground_enabled)
+    )
+
+    inv_i_w = sv.inv_inertia_world(quat, static.inv_inertia_body)
+    vel, ang = sv.solve_contacts(
+        vel, ang, pos, static.inv_mass, inv_i_w,
+        static.friction, static.restitution,
+        p_point, p_normal, p_depth, p_valid,
+        g_point, g_normal, g_depth, g_valid,
+        jnp.float32(GROUND_FRICTION), dt,
+        iterations=solver_iterations,
+    )
+
+    # semi-implicit Euler integrate dynamics
+    pos = jnp.where(is_dynamic[:, None], pos + vel * dt, pos)
+    quat = jnp.where(
+        is_dynamic[:, None], math3d.quat_integrate(quat, ang, dt), quat
+    )
+    vel = jnp.where(is_dynamic[:, None], vel, jnp.zeros_like(vel))
+    ang = jnp.where(is_dynamic[:, None], ang, jnp.zeros_like(ang))
+
+    # ------------------------------------------------------------------
+    # 3. triggers
+    # ------------------------------------------------------------------
+    overlap = tg.trigger_overlaps(
+        static.trig_entity, static.trig_shape, static.trig_size,
+        static.trig_layer, static.trig_mask, state.trigger_active,
+        pos, quat, static.shape_type, static.shape_size,
+        static.layer, static.mask, alive, has_collider,
+    )
+    enter, stay, exit_, new_overlap, new_active = tg.diff_events(
+        state.trigger_overlap, overlap, static.trig_one_shot, state.trigger_active
+    )
+
+    new_state = dataclasses.replace(
+        state,
+        pos=pos,
+        quat=quat,
+        lin_vel=vel,
+        ang_vel=ang,
+        char_vel_y=char_vel_y,
+        char_on_ground=char_on_ground,
+        trigger_overlap=new_overlap,
+        trigger_active=new_active,
+        time=state.time + dt,
+        step_idx=state.step_idx + 1,
+    )
+    events = StepEvents(trigger_enter=enter, trigger_stay=stay, trigger_exit=exit_)
+    return new_state, events

@@ -1,0 +1,247 @@
+"""TPU tile rasterizer: vertex transform, binning, visibility buffer.
+
+Replaces the reference's bgfx GPU submission path (``Renderer.cpp:601-730``
+per-submesh draws into a D3D11 device) with a software raster pipeline shaped
+for the TPU's dense vector units (SURVEY.md §7 "Rasterization on TPU"):
+
+1. **vertex transform** — one batched matmul over all scene vertices
+   (world gathered per vertex from the entity table);
+2. **triangle setup + cull** — screen-space bbox, w>0, degenerate and
+   off-screen rejection; rendering is two-sided (the reference's
+   ``m_defaultState`` sets no cull flag, ``Renderer.h:128-131``), depth test
+   LESS with clear depth 1.0 (``Renderer.cpp:161``);
+3. **binning** — per-tile triangle lists (capacity K) built from a dense
+   [tiles, tris] bbox-overlap mask with a stable argsort compaction — no
+   scatter;
+4. **visibility pass** — per tile, a ``lax.scan`` over triangle chunks
+   evaluates edge functions over the whole pixel block at once (VPU-shaped
+   [chunk, th, tw] ops), z-tests, and keeps the winning triangle id +
+   barycentrics per pixel ("visibility buffer");
+5. shading happens once per pixel in :mod:`banggameengine_tpu.render.shading`
+   (deferred), so the expensive material math never runs on occluded
+   fragments.
+
+Depth is NDC z in [0,1] interpolated linearly in screen space (matching
+hardware rasterizers); attribute interpolation is perspective-correct via
+1/w weighting at shade time.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+Array = jax.Array
+
+TILE_H = 32
+TILE_W = 128
+
+
+class VisibilityBuffer(NamedTuple):
+    depth: Array    # f32[H,W], 1.0 = far/background
+    tri_id: Array   # i32[H,W], -1 = background
+    bary: Array     # f32[H,W,2] (b1, b2) screen-space barycentrics
+
+
+def transform_vertices(v_pos, v_entity, world_mats, view, proj):
+    """Object-space vertices -> (world_pos [V,3], clip [V,4]).
+
+    One gather + one fused matmul chain; the MXU sees [V,4]x[4,4].
+    """
+    w = world_mats[v_entity]                          # [V,4,4]
+    wp = jnp.einsum("vij,vj->vi", w[:, :3, :3], v_pos) + w[:, :3, 3]
+    vp = jnp.matmul(proj, view, preferred_element_type=jnp.float32)
+    wp4 = jnp.concatenate([wp, jnp.ones_like(wp[:, :1])], axis=-1)
+    clip = jnp.einsum("ij,vj->vi", vp, wp4)
+    return wp, clip
+
+
+def transform_normals(v_nrm, v_entity, normal_mats):
+    nm = normal_mats[v_entity]                        # [V,3,3]
+    n = jnp.einsum("vij,vj->vi", nm, v_nrm)
+    return n / jnp.maximum(jnp.linalg.norm(n, axis=-1, keepdims=True), 1e-9)
+
+
+def setup_triangles(clip, tri_valid, width: int, height: int):
+    """Clip-space -> screen-space triangle data + validity.
+
+    Returns dict of per-triangle arrays: sx, sy [T,3] screen coords,
+    z [T,3] NDC depth, inv_w [T,3], bbox [T,4] (x0,y0,x1,y1), valid [T].
+    Triangles with any vertex behind the near plane are rejected (no
+    near-plane clipping in v1 — the reference camera keeps near=0.1 and the
+    demo never intersects it).
+    """
+    w = clip[:, 3]
+    safe_w = jnp.where(jnp.abs(w) > 1e-9, w, 1e-9)
+    ndc = clip[:, :3] / safe_w[:, None]
+    sx = (ndc[:, 0] * 0.5 + 0.5) * width
+    sy = (1.0 - (ndc[:, 1] * 0.5 + 0.5)) * height
+    z = ndc[:, 2]
+    inv_w = 1.0 / safe_w
+
+    t = clip.shape[0] // 3
+    sx3 = sx.reshape(t, 3)
+    sy3 = sy.reshape(t, 3)
+    z3 = z.reshape(t, 3)
+    iw3 = inv_w.reshape(t, 3)
+    w3 = w.reshape(t, 3)
+
+    in_front = jnp.all(w3 > 1e-6, axis=1)
+    x0 = jnp.min(sx3, axis=1)
+    x1 = jnp.max(sx3, axis=1)
+    y0 = jnp.min(sy3, axis=1)
+    y1 = jnp.max(sy3, axis=1)
+    on_screen = (x1 >= 0) & (x0 < width) & (y1 >= 0) & (y0 < height)
+    area = (sx3[:, 1] - sx3[:, 0]) * (sy3[:, 2] - sy3[:, 0]) - (
+        sy3[:, 1] - sy3[:, 0]
+    ) * (sx3[:, 2] - sx3[:, 0])
+    nondegenerate = jnp.abs(area) > 1e-9
+    z_ok = jnp.all(z3 <= 1.0, axis=1) & jnp.all(z3 >= 0.0, axis=1)
+
+    valid = tri_valid & in_front & on_screen & nondegenerate & z_ok
+    return dict(
+        sx=sx3, sy=sy3, z=z3, inv_w=iw3, area=area,
+        bbox=jnp.stack([x0, y0, x1, y1], axis=1), valid=valid,
+    )
+
+
+def bin_triangles(tri, width: int, height: int, bin_capacity: int):
+    """Dense bbox-vs-tile binning.
+
+    Returns (tile_tris i32[tiles, K] triangle ids, -1 padded; overflow i32 —
+    count of (tile, tri) pairs dropped because a tile exceeded K).
+    Tiles are row-major over a [tiles_y, tiles_x] grid.
+    """
+    tiles_x = (width + TILE_W - 1) // TILE_W
+    tiles_y = (height + TILE_H - 1) // TILE_H
+    n_tiles = tiles_x * tiles_y
+    t = tri["valid"].shape[0]
+
+    tx = jnp.arange(tiles_x, dtype=jnp.float32) * TILE_W
+    ty = jnp.arange(tiles_y, dtype=jnp.float32) * TILE_H
+    tile_x0 = jnp.tile(tx, tiles_y)                  # [tiles]
+    tile_y0 = jnp.repeat(ty, tiles_x)
+
+    bbox = tri["bbox"]
+    ov = (
+        (bbox[None, :, 0] <= tile_x0[:, None] + TILE_W)
+        & (bbox[None, :, 2] >= tile_x0[:, None])
+        & (bbox[None, :, 1] <= tile_y0[:, None] + TILE_H)
+        & (bbox[None, :, 3] >= tile_y0[:, None])
+        & tri["valid"][None, :]
+    )                                                # [tiles, T]
+
+    # stable compaction: argsort(~mask) puts overlapping tri ids first, in
+    # ascending order (deterministic draw order)
+    order = jnp.argsort(~ov, axis=1, stable=True)    # [tiles, T]
+    k = min(bin_capacity, t)
+    ids = order[:, :k].astype(jnp.int32)
+    counts = jnp.sum(ov, axis=1)
+    slot = jnp.arange(k)[None, :]
+    ids = jnp.where(slot < counts[:, None], ids, -1)
+    overflow = jnp.sum(jnp.maximum(counts - k, 0))
+    return ids, overflow, (tiles_y, tiles_x)
+
+
+def _raster_tile(tile_ids, tile_x0, tile_y0, sx, sy, z, chunk: int):
+    """Visibility raster of one tile.  tile_ids i32[K] (-1 pad)."""
+    k = tile_ids.shape[0]
+    px = tile_x0 + jnp.arange(TILE_W, dtype=jnp.float32)[None, :] + 0.5
+    py = tile_y0 + jnp.arange(TILE_H, dtype=jnp.float32)[:, None] + 0.5
+
+    def chunk_body(carry, cids):
+        zbuf, tid, b1b, b2b = carry
+        safe = jnp.maximum(cids, 0)
+        x = sx[safe]                                  # [C,3]
+        y = sy[safe]
+        zz = z[safe]
+        x0, x1, x2 = x[:, 0, None, None], x[:, 1, None, None], x[:, 2, None, None]
+        y0, y1, y2 = y[:, 0, None, None], y[:, 1, None, None], y[:, 2, None, None]
+        pxb = px[None]                                # [1,TH,TW]
+        pyb = py[None]
+        # edge functions (signed areas)
+        e0 = (x1 - x0) * (pyb - y0) - (y1 - y0) * (pxb - x0)
+        e1 = (x2 - x1) * (pyb - y1) - (y2 - y1) * (pxb - x1)
+        e2 = (x0 - x2) * (pyb - y2) - (y0 - y2) * (pxb - x2)
+        area = (x1 - x0) * (y2 - y0) - (y1 - y0) * (x2 - x0)
+        # two-sided coverage
+        pos = (e0 >= 0) & (e1 >= 0) & (e2 >= 0)
+        neg = (e0 <= 0) & (e1 <= 0) & (e2 <= 0)
+        cover = jnp.where(area[..., None, None][:, 0] > 0, pos, neg)
+        inv_area = 1.0 / jnp.where(jnp.abs(area) > 1e-9, area, 1e-9)
+        b1 = e2 * inv_area                            # weight of vertex 1
+        b2 = e0 * inv_area                            # weight of vertex 2
+        b0 = 1.0 - b1 - b2
+        depth = (
+            b0 * zz[:, 0, None, None]
+            + b1 * zz[:, 1, None, None]
+            + b2 * zz[:, 2, None, None]
+        )
+        ok = cover & (cids >= 0)[:, None, None] & (depth >= 0.0) & (depth <= 1.0)
+        depth = jnp.where(ok, depth, jnp.inf)
+        # best in chunk
+        best = jnp.argmin(depth, axis=0)              # [TH,TW]
+        take = functools.partial(jnp.take_along_axis, indices=best[None], axis=0)
+        d_best = take(depth)[0]
+        b1_best = take(b1)[0]
+        b2_best = take(b2)[0]
+        id_best = cids[best]
+        better = d_best < zbuf
+        zbuf = jnp.where(better, d_best, zbuf)
+        tid = jnp.where(better, id_best, tid)
+        b1b = jnp.where(better, b1_best, b1b)
+        b2b = jnp.where(better, b2_best, b2b)
+        return (zbuf, tid, b1b, b2b), None
+
+    init = (
+        jnp.full((TILE_H, TILE_W), jnp.inf, jnp.float32),
+        jnp.full((TILE_H, TILE_W), -1, jnp.int32),
+        jnp.zeros((TILE_H, TILE_W), jnp.float32),
+        jnp.zeros((TILE_H, TILE_W), jnp.float32),
+    )
+    chunks = tile_ids.reshape(k // chunk, chunk)
+    (zbuf, tid, b1b, b2b), _ = jax.lax.scan(chunk_body, init, chunks)
+    zbuf = jnp.where(jnp.isfinite(zbuf), zbuf, 1.0)
+    return zbuf, tid, b1b, b2b
+
+
+def rasterize(clip, tri_valid, width: int, height: int,
+              bin_capacity: int = 512, chunk: int = 8) -> tuple[VisibilityBuffer, Array]:
+    """Full visibility pass.  width/height are padded up to tile multiples
+    internally; outputs are cropped back.  Returns (vis, bin_overflow)."""
+    pad_w = (-width) % TILE_W
+    pad_h = (-height) % TILE_H
+    rw, rh = width + pad_w, height + pad_h
+
+    tri = setup_triangles(clip, tri_valid, rw, rh)
+    ids, overflow, (tiles_y, tiles_x) = bin_triangles(tri, rw, rh, bin_capacity)
+    # pad K to chunk multiple
+    k = ids.shape[1]
+    pad_k = (-k) % chunk
+    if pad_k:
+        ids = jnp.concatenate(
+            [ids, jnp.full((ids.shape[0], pad_k), -1, jnp.int32)], axis=1
+        )
+
+    tx = jnp.tile(jnp.arange(tiles_x, dtype=jnp.float32) * TILE_W, tiles_y)
+    ty = jnp.repeat(jnp.arange(tiles_y, dtype=jnp.float32) * TILE_H, tiles_x)
+
+    raster = jax.vmap(
+        lambda i, x0, y0: _raster_tile(i, x0, y0, tri["sx"], tri["sy"], tri["z"], chunk)
+    )
+    zb, tid, b1, b2 = raster(ids, tx, ty)            # [tiles, TH, TW]
+
+    def untile(a):
+        a = a.reshape(tiles_y, tiles_x, TILE_H, TILE_W)
+        a = jnp.transpose(a, (0, 2, 1, 3)).reshape(rh, rw)
+        return a[:height, :width]
+
+    vis = VisibilityBuffer(
+        depth=untile(zb),
+        tri_id=untile(tid),
+        bary=jnp.stack([untile(b1), untile(b2)], axis=-1),
+    )
+    return vis, overflow
