@@ -1,0 +1,90 @@
+"""Full frame render pipeline: cull -> transform -> raster -> shade.
+
+The TPU image of one ``Renderer::BeginFrame``/``EndFrame`` pair
+(``Renderer.cpp:495-736``): instead of submitting per-submesh draw calls to a
+GPU driver, the whole frame is one jitted function producing a
+``uint8[H, W, 4]`` framebuffer in HBM (fetched to host only for display).
+Debug-line and HUD overlays composite on top (:mod:`debugdraw`, :mod:`hud`).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from banggameengine_tpu import math3d
+from banggameengine_tpu.render import raster as rz
+from banggameengine_tpu.render.cull import entity_frustum_mask
+from banggameengine_tpu.render.shading import LightParams, shade_visibility
+
+Array = jax.Array
+
+
+def render_frame(
+    render_scene,          # scene.build.RenderScene
+    world_mats: Array,     # f32[N,4,4] entity world matrices
+    view: Array,           # f32[4,4]
+    proj: Array,           # f32[4,4]
+    camera_pos: Array,     # f32[3]
+    light: Optional[LightParams] = None,
+    width: int = 1280,
+    height: int = 720,
+    bin_capacity: int = 512,
+    depth_only: bool = False,
+):
+    """Render one shaded frame (or depth buffer).
+
+    Returns ``uint8[H, W, 4]`` (shaded) or ``f32[H, W]`` NDC depth
+    (``depth_only=True``, driver config #3).
+    """
+    rs = render_scene
+    if light is None:
+        light = LightParams.default()
+
+    # entity-level frustum cull -> triangle mask
+    vis_ent = entity_frustum_mask(
+        rs.ent_aabb_min, rs.ent_aabb_max, rs.ent_has_mesh,
+        world_mats, view, proj,
+    )
+    tri_entity = rs.v_entity[::3]
+    tri_valid = rs.tri_valid & vis_ent[tri_entity]
+
+    # vertex transform (one fused matmul chain over all vertices)
+    world_pos, clip = rz.transform_vertices(
+        rs.v_pos, rs.v_entity, world_mats, view, proj
+    )
+
+    vis, _overflow = rz.rasterize(
+        clip, tri_valid, width, height, bin_capacity=bin_capacity
+    )
+    if depth_only:
+        return vis.depth
+
+    normal_mats = math3d.normal_matrix(world_mats)
+    world_nrm = rz.transform_normals(rs.v_nrm, rs.v_entity, normal_mats)
+    inv_w = 1.0 / jnp.where(jnp.abs(clip[:, 3]) > 1e-9, clip[:, 3], 1e-9)
+
+    frame = shade_visibility(
+        vis.tri_id, vis.bary,
+        world_pos, world_nrm, rs.v_uv, inv_w,
+        rs.tri_material,
+        rs.mat_base_tint, rs.mat_uv_scale, rs.mat_spec_params,
+        rs.mat_spec_color, rs.mat_tex,
+        rs.textures, rs.tex_size,
+        camera_pos, light,
+    )
+    return frame
+
+
+def make_render_fn(render_scene, width: int, height: int,
+                   bin_capacity: int = 512, depth_only: bool = False):
+    """Jitted frame renderer closed over the (static) render scene."""
+    fn = functools.partial(
+        render_frame, render_scene,
+        width=width, height=height,
+        bin_capacity=bin_capacity, depth_only=depth_only,
+    )
+    return jax.jit(fn)

@@ -65,31 +65,91 @@ def transform_normals(v_nrm, v_entity, normal_mats):
     return n / jnp.maximum(jnp.linalg.norm(n, axis=-1, keepdims=True), 1e-9)
 
 
-def setup_triangles(clip, tri_valid, width: int, height: int):
-    """Clip-space -> screen-space triangle data + validity.
+def clip_near_plane(clip_tri: Array, tri_valid: Array):
+    """Clip triangles against the near plane (clip-space z >= 0).
 
-    Returns dict of per-triangle arrays: sx, sy [T,3] screen coords,
-    z [T,3] NDC depth, inv_w [T,3], bbox [T,4] (x0,y0,x1,y1), valid [T].
-    Triangles with any vertex behind the near plane are rejected (no
-    near-plane clipping in v1 — the reference camera keeps near=0.1 and the
-    demo never intersects it).
+    Each input triangle yields up to 2 sub-triangles.  Sub-triangle corners
+    carry their barycentric coordinates **in the original triangle**, so the
+    visibility buffer keeps referencing original triangle ids and original
+    vertex attributes — clipping is invisible to the deferred shader.
+
+    clip_tri: f32[T, 3, 4]; returns (sub_clip f32[T,2,3,4],
+    sub_bary f32[T,2,3,3] rows = original-space barycentrics of each corner,
+    sub_valid bool[T,2]).
     """
-    w = clip[:, 3]
+    d = clip_tri[..., 2]                   # z_clip; >= 0 means in front
+    inside = d >= 0.0
+    k = jnp.sum(inside, axis=1)            # [T] 0..3
+
+    # rotate so that: k==1 -> the inside vertex is slot 0;
+    #                 k==2 -> the outside vertex is slot 2
+    r1 = jnp.argmax(inside, axis=1)
+    r2 = jnp.mod(jnp.argmax(~inside, axis=1) + 1, 3)
+    r = jnp.where(k == 1, r1, jnp.where(k == 2, r2, 0)).astype(jnp.int32)
+
+    idx = jnp.mod(r[:, None] + jnp.arange(3)[None, :], 3)      # [T,3]
+    v = jnp.take_along_axis(clip_tri, idx[..., None], axis=1)   # rotated verts
+    dd = jnp.take_along_axis(d, idx, axis=1)
+    bary_id = jax.nn.one_hot(idx, 3, dtype=clip_tri.dtype)      # [T,3,3]
+
+    def lerp(a, b, t):
+        return a + (b - a) * t[..., None]
+
+    def safe_t(da, db):
+        den = da - db
+        return da / jnp.where(jnp.abs(den) > 1e-12, den, 1e-12)
+
+    d0, d1, d2 = dd[:, 0], dd[:, 1], dd[:, 2]
+    v0, v1, v2 = v[:, 0], v[:, 1], v[:, 2]
+    b0, b1, b2 = bary_id[:, 0], bary_id[:, 1], bary_id[:, 2]
+
+    i01 = lerp(v0, v1, safe_t(d0, d1))
+    i02 = lerp(v0, v2, safe_t(d0, d2))
+    i12 = lerp(v1, v2, safe_t(d1, d2))
+    bi01 = lerp(b0, b1, safe_t(d0, d1))
+    bi02 = lerp(b0, b2, safe_t(d0, d2))
+    bi12 = lerp(b1, b2, safe_t(d1, d2))
+
+    k1 = (k == 1)[:, None, None]
+    k2 = (k == 2)[:, None, None]
+    k3 = (k == 3)[:, None, None]
+
+    # sub-triangle 1: k3 -> (v0,v1,v2); k2 -> (v0,v1,i12); k1 -> (v0,i01,i02)
+    s1_v = jnp.where(
+        k3, v, jnp.where(
+            k2, jnp.stack([v0, v1, i12], 1), jnp.stack([v0, i01, i02], 1))
+    )
+    s1_b = jnp.where(
+        k3, bary_id, jnp.where(
+            k2, jnp.stack([b0, b1, bi12], 1), jnp.stack([b0, bi01, bi02], 1))
+    )
+    # sub-triangle 2: only k2 -> (v0, i12, i02)
+    s2_v = jnp.stack([v0, i12, i02], 1)
+    s2_b = jnp.stack([b0, bi12, bi02], 1)
+
+    sub_clip = jnp.stack([s1_v, s2_v], axis=1)          # [T,2,3,4]
+    sub_bary = jnp.stack([s1_b, s2_b], axis=1)
+    s1_ok = tri_valid & (k >= 1)
+    s2_ok = tri_valid & (k == 2)
+    sub_valid = jnp.stack([s1_ok, s2_ok], axis=1)
+    return sub_clip, sub_bary, sub_valid
+
+
+def setup_triangles(sub_clip, sub_valid, width: int, height: int):
+    """Near-clipped sub-triangles -> screen-space raster data.
+
+    sub_clip: f32[S, 3, 4] (S = 2T flattened sub-triangles, all z >= 0 by
+    construction); returns dict of per-sub-tri arrays.
+    """
+    w = sub_clip[..., 3]
     safe_w = jnp.where(jnp.abs(w) > 1e-9, w, 1e-9)
-    ndc = clip[:, :3] / safe_w[:, None]
-    sx = (ndc[:, 0] * 0.5 + 0.5) * width
-    sy = (1.0 - (ndc[:, 1] * 0.5 + 0.5)) * height
-    z = ndc[:, 2]
-    inv_w = 1.0 / safe_w
+    ndc = sub_clip[..., :3] / safe_w[..., None]
+    sx3 = (ndc[..., 0] * 0.5 + 0.5) * width
+    sy3 = (1.0 - (ndc[..., 1] * 0.5 + 0.5)) * height
+    z3 = ndc[..., 2]
+    iw3 = 1.0 / safe_w
 
-    t = clip.shape[0] // 3
-    sx3 = sx.reshape(t, 3)
-    sy3 = sy.reshape(t, 3)
-    z3 = z.reshape(t, 3)
-    iw3 = inv_w.reshape(t, 3)
-    w3 = w.reshape(t, 3)
-
-    in_front = jnp.all(w3 > 1e-6, axis=1)
+    in_front = jnp.all(w > 1e-7, axis=1)
     x0 = jnp.min(sx3, axis=1)
     x1 = jnp.max(sx3, axis=1)
     y0 = jnp.min(sy3, axis=1)
@@ -99,9 +159,9 @@ def setup_triangles(clip, tri_valid, width: int, height: int):
         sy3[:, 1] - sy3[:, 0]
     ) * (sx3[:, 2] - sx3[:, 0])
     nondegenerate = jnp.abs(area) > 1e-9
-    z_ok = jnp.all(z3 <= 1.0, axis=1) & jnp.all(z3 >= 0.0, axis=1)
+    # far-plane handled per-pixel (depth <= 1 test in the tile kernel)
+    valid = sub_valid & in_front & on_screen & nondegenerate
 
-    valid = tri_valid & in_front & on_screen & nondegenerate & z_ok
     return dict(
         sx=sx3, sy=sy3, z=z3, inv_w=iw3, area=area,
         bbox=jnp.stack([x0, y0, x1, y1], axis=1), valid=valid,
@@ -146,8 +206,14 @@ def bin_triangles(tri, width: int, height: int, bin_capacity: int):
     return ids, overflow, (tiles_y, tiles_x)
 
 
-def _raster_tile(tile_ids, tile_x0, tile_y0, sx, sy, z, chunk: int):
-    """Visibility raster of one tile.  tile_ids i32[K] (-1 pad)."""
+def _raster_tile(tile_ids, tile_x0, tile_y0, sx, sy, z, orig_id, corner_bary,
+                 chunk: int):
+    """Visibility raster of one tile over sub-triangles.
+
+    tile_ids i32[K] (-1 pad) index sub-triangles; the output tri_id buffer
+    stores ``orig_id`` and the barycentrics are mapped into original-triangle
+    space through ``corner_bary`` [S,3,3].
+    """
     k = tile_ids.shape[0]
     px = tile_x0 + jnp.arange(TILE_W, dtype=jnp.float32)[None, :] + 0.5
     py = tile_y0 + jnp.arange(TILE_H, dtype=jnp.float32)[:, None] + 0.5
@@ -158,6 +224,8 @@ def _raster_tile(tile_ids, tile_x0, tile_y0, sx, sy, z, chunk: int):
         x = sx[safe]                                  # [C,3]
         y = sy[safe]
         zz = z[safe]
+        cb = corner_bary[safe]                        # [C,3,3]
+        oid = orig_id[safe]
         x0, x1, x2 = x[:, 0, None, None], x[:, 1, None, None], x[:, 2, None, None]
         y0, y1, y2 = y[:, 0, None, None], y[:, 1, None, None], y[:, 2, None, None]
         pxb = px[None]                                # [1,TH,TW]
@@ -166,11 +234,11 @@ def _raster_tile(tile_ids, tile_x0, tile_y0, sx, sy, z, chunk: int):
         e0 = (x1 - x0) * (pyb - y0) - (y1 - y0) * (pxb - x0)
         e1 = (x2 - x1) * (pyb - y1) - (y2 - y1) * (pxb - x1)
         e2 = (x0 - x2) * (pyb - y2) - (y0 - y2) * (pxb - x2)
-        area = (x1 - x0) * (y2 - y0) - (y1 - y0) * (x2 - x0)
+        area = (x1 - x0) * (y2 - y0) - (y1 - y0) * (x2 - x0)  # [C,1,1]
         # two-sided coverage
         pos = (e0 >= 0) & (e1 >= 0) & (e2 >= 0)
         neg = (e0 <= 0) & (e1 <= 0) & (e2 <= 0)
-        cover = jnp.where(area[..., None, None][:, 0] > 0, pos, neg)
+        cover = jnp.where(area > 0, pos, neg)
         inv_area = 1.0 / jnp.where(jnp.abs(area) > 1e-9, area, 1e-9)
         b1 = e2 * inv_area                            # weight of vertex 1
         b2 = e0 * inv_area                            # weight of vertex 2
@@ -182,13 +250,19 @@ def _raster_tile(tile_ids, tile_x0, tile_y0, sx, sy, z, chunk: int):
         )
         ok = cover & (cids >= 0)[:, None, None] & (depth >= 0.0) & (depth <= 1.0)
         depth = jnp.where(ok, depth, jnp.inf)
+        # map sub-space bary -> original-triangle bary
+        ob = (
+            b0[..., None] * cb[:, None, None, 0]
+            + b1[..., None] * cb[:, None, None, 1]
+            + b2[..., None] * cb[:, None, None, 2]
+        )                                             # [C,TH,TW,3]
         # best in chunk
         best = jnp.argmin(depth, axis=0)              # [TH,TW]
         take = functools.partial(jnp.take_along_axis, indices=best[None], axis=0)
         d_best = take(depth)[0]
-        b1_best = take(b1)[0]
-        b2_best = take(b2)[0]
-        id_best = cids[best]
+        b1_best = jnp.take_along_axis(ob[..., 1], best[None], axis=0)[0]
+        b2_best = jnp.take_along_axis(ob[..., 2], best[None], axis=0)[0]
+        id_best = oid[best]
         better = d_best < zbuf
         zbuf = jnp.where(better, d_best, zbuf)
         tid = jnp.where(better, id_best, tid)
@@ -216,7 +290,20 @@ def rasterize(clip, tri_valid, width: int, height: int,
     pad_h = (-height) % TILE_H
     rw, rh = width + pad_w, height + pad_h
 
-    tri = setup_triangles(clip, tri_valid, rw, rh)
+    # near-plane clip: T triangles -> 2T sub-triangles with original-space
+    # corner barycentrics
+    t = clip.shape[0] // 3
+    clip_tri = clip.reshape(t, 3, 4)
+    sub_clip, sub_bary, sub_valid = clip_near_plane(clip_tri, tri_valid)
+    s = 2 * t
+    sub_clip = sub_clip.reshape(s, 3, 4)
+    sub_bary = sub_bary.reshape(s, 3, 3)
+    sub_valid = sub_valid.reshape(s)
+    orig_id = jnp.repeat(jnp.arange(t, dtype=jnp.int32), 2)
+
+    # screen mapping uses the TRUE resolution; the tile grid just extends
+    # past the right/bottom edges into cropped padding
+    tri = setup_triangles(sub_clip, sub_valid, width, height)
     ids, overflow, (tiles_y, tiles_x) = bin_triangles(tri, rw, rh, bin_capacity)
     # pad K to chunk multiple
     k = ids.shape[1]
@@ -230,7 +317,9 @@ def rasterize(clip, tri_valid, width: int, height: int,
     ty = jnp.repeat(jnp.arange(tiles_y, dtype=jnp.float32) * TILE_H, tiles_x)
 
     raster = jax.vmap(
-        lambda i, x0, y0: _raster_tile(i, x0, y0, tri["sx"], tri["sy"], tri["z"], chunk)
+        lambda i, x0, y0: _raster_tile(
+            i, x0, y0, tri["sx"], tri["sy"], tri["z"], orig_id, sub_bary, chunk
+        )
     )
     zb, tid, b1, b2 = raster(ids, tx, ty)            # [tiles, TH, TW]
 

@@ -1,0 +1,173 @@
+"""Deferred Blinn-Phong shading of the visibility buffer.
+
+Reproduces the reference's fragment shader **exactly**
+(``assets/shaders/fs_basic.sc:19-36``):
+
+    N = normalize(worldNormal); L = normalize(-lightDir)
+    V = normalize(cameraPos - worldPos); H = normalize(L + V)
+    base = tex.rgb * vertexColor.rgb * baseTint.rgb
+    lit  = ambient + lightColor * max(dot(N, L), 0)
+    spec = pow(max(dot(N, H), 0), shininess) * specIntensity
+    rgb  = base * lit + specColor * spec
+
+with the renderer's global shininess/specIntensity forced over the material
+copy (``Renderer.cpp:657-659``) and light direction from yaw/pitch
+(``Renderer.cpp:514-522``: dir = (cy*cp, sp, sy*cp)).  Defaults: ambient 0.5,
+lightColor white, shininess 32, specIntensity 0.35 (``Renderer.h:120-122``).
+
+Because shading is deferred, each of the H*W pixels is shaded exactly once —
+the per-pixel material math and texture gathers never run on occluded
+fragments.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+
+Array = jax.Array
+
+CLEAR_COLOR = (0x88 / 255.0, 0xAA / 255.0, 0xFF / 255.0)  # Renderer.cpp:161
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class LightParams:
+    """Directional light + global material overrides (host-tweakable, the
+    arrow-key light controls at ``Application.cpp:161-245``)."""
+
+    yaw: Array      # f32[]
+    pitch: Array    # f32[]
+    color: Array    # f32[3]
+    ambient: Array  # f32[]
+    shininess: Array       # f32[] global override
+    spec_intensity: Array  # f32[] global override
+
+    @staticmethod
+    def default() -> "LightParams":
+        return LightParams(
+            yaw=jnp.float32(0.0),
+            pitch=jnp.float32(0.0),
+            color=jnp.ones(3, jnp.float32),
+            ambient=jnp.float32(0.5),
+            shininess=jnp.float32(32.0),
+            spec_intensity=jnp.float32(0.35),
+        )
+
+    def direction(self) -> Array:
+        cy, sy = jnp.cos(self.yaw), jnp.sin(self.yaw)
+        cp, sp = jnp.cos(self.pitch), jnp.sin(self.pitch)
+        return jnp.stack([cy * cp, sp, sy * cp])
+
+
+def sample_texture_bilinear(textures: Array, tex_size: Array, tex_id: Array,
+                            uv: Array) -> Array:
+    """Bilinear, wrap-repeat texture sampling.
+
+    textures: u8[T, S, S, 4] (padded square atlas pages);
+    tex_size: i32[T, 2] actual (w, h); tex_id: i32[...]; uv: f32[..., 2].
+    Returns f32[..., 4] in [0, 1].
+    """
+    wh = tex_size[tex_id].astype(jnp.float32)          # [..., 2]
+    w, h = wh[..., 0], wh[..., 1]
+    # wrap repeat, texel centers at integer+0.5 (matching D3D point of view)
+    fx = uv[..., 0] * w - 0.5
+    fy = uv[..., 1] * h - 0.5
+    x0 = jnp.floor(fx)
+    y0 = jnp.floor(fy)
+    tx = fx - x0
+    ty = fy - y0
+
+    def wrap(i, n):
+        return jnp.mod(i.astype(jnp.int32), jnp.maximum(n.astype(jnp.int32), 1))
+
+    x0i, x1i = wrap(x0, w), wrap(x0 + 1, w)
+    y0i, y1i = wrap(y0, h), wrap(y0 + 1, h)
+
+    def fetch(yi, xi):
+        return textures[tex_id, yi, xi].astype(jnp.float32) / 255.0
+
+    c00 = fetch(y0i, x0i)
+    c01 = fetch(y0i, x1i)
+    c10 = fetch(y1i, x0i)
+    c11 = fetch(y1i, x1i)
+    top = c00 + (c01 - c00) * tx[..., None]
+    bot = c10 + (c11 - c10) * tx[..., None]
+    return top + (bot - top) * ty[..., None]
+
+
+def shade_visibility(
+    vis_tri_id: Array,    # i32[H,W]
+    vis_bary: Array,      # f32[H,W,2]
+    # per-vertex attributes (V = 3*T)
+    world_pos: Array,     # f32[V,3]
+    world_nrm: Array,     # f32[V,3]
+    v_uv: Array,          # f32[V,2]
+    inv_w: Array,         # f32[V]
+    tri_material: Array,  # i32[T]
+    # material tables
+    mat_base_tint: Array, mat_uv_scale: Array, mat_spec_params: Array,
+    mat_spec_color: Array, mat_tex: Array,
+    textures: Array, tex_size: Array,
+    camera_pos: Array,    # f32[3]
+    light: LightParams,
+) -> Array:
+    """Shade every pixel of the visibility buffer.  Returns u8[H,W,4]."""
+    h, w = vis_tri_id.shape
+    tid = jnp.maximum(vis_tri_id, 0)
+    i0 = tid * 3
+    b1 = vis_bary[..., 0]
+    b2 = vis_bary[..., 1]
+    b0 = 1.0 - b1 - b2
+
+    # perspective-correct interpolation: weight by 1/w
+    iw0, iw1, iw2 = inv_w[i0], inv_w[i0 + 1], inv_w[i0 + 2]
+    persp_den = b0 * iw0 + b1 * iw1 + b2 * iw2
+    inv_den = 1.0 / jnp.where(jnp.abs(persp_den) > 1e-12, persp_den, 1e-12)
+
+    def interp(attr):
+        a0, a1, a2 = attr[i0], attr[i0 + 1], attr[i0 + 2]
+        num = (
+            a0 * (b0 * iw0)[..., None]
+            + a1 * (b1 * iw1)[..., None]
+            + a2 * (b2 * iw2)[..., None]
+        )
+        return num * inv_den[..., None]
+
+    wp = interp(world_pos)                             # [H,W,3]
+    nrm = interp(world_nrm)
+    uv = interp(v_uv)
+
+    mid = tri_material[tid]                            # [H,W]
+    uv = uv * mat_uv_scale[mid]
+    tex = sample_texture_bilinear(textures, tex_size, mat_tex[mid], uv)
+
+    n = nrm / jnp.maximum(jnp.linalg.norm(nrm, axis=-1, keepdims=True), 1e-9)
+    light_dir = light.direction()
+    l = -light_dir
+    l = l / jnp.maximum(jnp.linalg.norm(l), 1e-9)
+    v = camera_pos - wp
+    v = v / jnp.maximum(jnp.linalg.norm(v, axis=-1, keepdims=True), 1e-9)
+    hvec = l + v
+    hvec = hvec / jnp.maximum(jnp.linalg.norm(hvec, axis=-1, keepdims=True), 1e-9)
+
+    diff = jnp.maximum(jnp.sum(n * l, -1), 0.0)
+    ndoth = jnp.maximum(jnp.sum(n * hvec, -1), 0.0)
+    # global overrides replace per-material shininess/intensity
+    # (Renderer.cpp:657-659); per-material spec color is kept
+    s = jnp.power(ndoth, light.shininess) * light.spec_intensity
+
+    base = tex[..., :3] * mat_base_tint[mid][..., :3]  # vertex color is white
+    lit = light.ambient + light.color * diff[..., None]
+    rgb = base * lit + mat_spec_color[mid] * s[..., None]
+    alpha = tex[..., 3] * mat_base_tint[mid][..., 3]
+
+    background = vis_tri_id < 0
+    clear = jnp.asarray(CLEAR_COLOR, jnp.float32)
+    rgb = jnp.where(background[..., None], clear, rgb)
+    alpha = jnp.where(background, 1.0, alpha)
+
+    out = jnp.concatenate([rgb, alpha[..., None]], axis=-1)
+    return (jnp.clip(out, 0.0, 1.0) * 255.0 + 0.5).astype(jnp.uint8)

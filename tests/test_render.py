@@ -1,0 +1,242 @@
+"""Renderer tests: vertex transform, culling, rasterization, shading.
+
+Golden checks are geometric invariants (known NDC positions, depth ordering,
+coverage of analytically-placed triangles) and demo-scene renders with
+color/coverage assertions — no reference images needed.
+"""
+
+import os
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from banggameengine_tpu import math3d
+from banggameengine_tpu.render import raster as rz
+from banggameengine_tpu.render.camera import Camera
+from banggameengine_tpu.render.cull import entity_frustum_mask
+from banggameengine_tpu.render.pipeline import render_frame
+from banggameengine_tpu.render.shading import LightParams, sample_texture_bilinear
+
+REF_ASSETS = "/root/reference/assets"
+needs_ref = pytest.mark.skipif(
+    not os.path.isdir(REF_ASSETS), reason="reference assets not mounted"
+)
+
+
+def simple_cam(eye=(0, 0, -5), at=(0, 0, 0), w=256, h=256):
+    view = math3d.mtx_look_at(
+        jnp.asarray(eye, jnp.float32), jnp.asarray(at, jnp.float32)
+    )
+    proj = math3d.mtx_proj(60.0, w / h, 0.1, 100.0)
+    return view, proj
+
+
+def make_tri_scene(tri_world):
+    """Build minimal raster inputs for a list of world-space triangles."""
+    v = np.asarray(tri_world, np.float32).reshape(-1, 3)
+    return jnp.asarray(v)
+
+
+def clip_of(verts, view, proj):
+    vp = np.asarray(math3d.mat_mul(proj, view))
+    v4 = np.concatenate([np.asarray(verts), np.ones((len(verts), 1), np.float32)], 1)
+    return jnp.asarray((vp @ v4.T).T)
+
+
+class TestRasterizer:
+    def test_single_triangle_coverage_and_depth(self):
+        view, proj = simple_cam()
+        # big triangle facing the camera at z=0
+        verts = make_tri_scene([[(-1, -1, 0), (1, -1, 0), (0, 1, 0)]])
+        clip = clip_of(verts, view, proj)
+        vis, overflow = rz.rasterize(clip, jnp.asarray([True]), 256, 256)
+        tid = np.asarray(vis.tri_id)
+        depth = np.asarray(vis.depth)
+        # center pixel covered by triangle 0
+        assert tid[128, 128] == 0
+        # corners background
+        assert tid[0, 0] == -1 and tid[255, 255] == -1
+        assert depth[0, 0] == 1.0
+        assert 0.0 < depth[128, 128] < 1.0
+        assert int(overflow) == 0
+        # analytic screen area: base=height=88.7 px -> ~3933 px covered
+        area_px = (tid == 0).sum()
+        assert 3600 < area_px < 4300
+
+    def test_depth_test_nearer_wins(self):
+        view, proj = simple_cam()
+        verts = make_tri_scene(
+            [
+                [(-1, -1, 1), (1, -1, 1), (0, 1, 1)],    # far tri (id 0)
+                [(-1, -1, -1), (1, -1, -1), (0, 1, -1)],  # near tri (id 1)
+            ]
+        )
+        clip = clip_of(verts, view, proj)
+        vis, _ = rz.rasterize(clip, jnp.asarray([True, True]), 256, 256)
+        assert np.asarray(vis.tri_id)[128, 128] == 1  # near one wins
+
+    def test_draw_order_independent(self):
+        view, proj = simple_cam()
+        tri_a = [(-1, -1, 1), (1, -1, 1), (0, 1, 1)]
+        tri_b = [(-1, -1, -1), (1, -1, -1), (0, 1, -1)]
+        c1 = clip_of(make_tri_scene([tri_a, tri_b]), view, proj)
+        c2 = clip_of(make_tri_scene([tri_b, tri_a]), view, proj)
+        v1, _ = rz.rasterize(c1, jnp.asarray([True, True]), 128, 128)
+        v2, _ = rz.rasterize(c2, jnp.asarray([True, True]), 128, 128)
+        np.testing.assert_allclose(
+            np.asarray(v1.depth), np.asarray(v2.depth), atol=1e-6
+        )
+
+    def test_behind_camera_rejected(self):
+        view, proj = simple_cam()
+        verts = make_tri_scene([[(-1, -1, -10), (1, -1, -10), (0, 1, -10)]])
+        clip = clip_of(verts, view, proj)
+        vis, _ = rz.rasterize(clip, jnp.asarray([True]), 64, 64)
+        assert (np.asarray(vis.tri_id) == -1).all()
+
+    def test_two_sided_rendering(self):
+        # reversed winding still renders (reference sets no cull state)
+        view, proj = simple_cam()
+        verts = make_tri_scene([[(0, 1, 0), (1, -1, 0), (-1, -1, 0)]])
+        clip = clip_of(verts, view, proj)
+        vis, _ = rz.rasterize(clip, jnp.asarray([True]), 64, 64)
+        assert np.asarray(vis.tri_id)[32, 32] == 0
+
+    def test_offscreen_tile_binning(self):
+        view, proj = simple_cam()
+        # small triangle in the top-left; bottom-right tiles must stay empty
+        verts = make_tri_scene([[(-2, 2, 0), (-1.5, 2, 0), (-2, 1.5, 0)]])
+        clip = clip_of(verts, view, proj)
+        vis, _ = rz.rasterize(clip, jnp.asarray([True]), 256, 256)
+        tid = np.asarray(vis.tri_id)
+        assert (tid[200:, 200:] == -1).all()
+
+
+class TestCulling:
+    def test_entity_behind_camera_culled(self):
+        view, proj = simple_cam(eye=(0, 0, -5), at=(0, 0, 0))
+        world = jnp.tile(jnp.eye(4, dtype=jnp.float32), (2, 1, 1))
+        world = world.at[1, 2, 3].set(-50.0)  # entity 1 far behind camera
+        mn = jnp.tile(jnp.asarray([-1.0, -1, -1]), (2, 1))
+        mx = jnp.tile(jnp.asarray([1.0, 1, 1]), (2, 1))
+        has = jnp.asarray([True, True])
+        vis = entity_frustum_mask(mn, mx, has, world, view, proj)
+        assert bool(vis[0]) and not bool(vis[1])
+
+    def test_entity_straddling_plane_kept(self):
+        view, proj = simple_cam()
+        world = jnp.tile(jnp.eye(4, dtype=jnp.float32), (1, 1, 1))
+        # huge AABB covering the whole frustum
+        mn = jnp.asarray([[-100.0, -100, -100]])
+        mx = jnp.asarray([[100.0, 100, 100]])
+        vis = entity_frustum_mask(
+            mn, mx, jnp.asarray([True]), world, view, proj
+        )
+        assert bool(vis[0])
+
+
+class TestShading:
+    def test_texture_sampling_bilinear(self):
+        # 2x2 checker: sample at texel centers returns exact colors
+        tex = np.zeros((1, 2, 2, 4), np.uint8)
+        tex[0, 0, 0] = [255, 0, 0, 255]
+        tex[0, 0, 1] = [0, 255, 0, 255]
+        tex[0, 1, 0] = [0, 0, 255, 255]
+        tex[0, 1, 1] = [255, 255, 255, 255]
+        size = jnp.asarray([[2, 2]], jnp.int32)
+        uv = jnp.asarray([[0.25, 0.25], [0.75, 0.25], [0.25, 0.75]], jnp.float32)
+        out = sample_texture_bilinear(
+            jnp.asarray(tex), size, jnp.zeros(3, jnp.int32), uv
+        )
+        np.testing.assert_allclose(
+            np.asarray(out)[:, :3], [[1, 0, 0], [0, 1, 0], [0, 0, 1]], atol=1e-5
+        )
+
+    def test_light_direction_formula(self):
+        lp = LightParams.default()
+        np.testing.assert_allclose(np.asarray(lp.direction()), [1, 0, 0], atol=1e-6)
+
+
+@needs_ref
+class TestDemoRender:
+    @pytest.fixture(scope="class")
+    def demo(self):
+        from banggameengine_tpu.physics.config import load_physics_config
+        from banggameengine_tpu.scene import (
+            ResourceManager, build_scene, parse_scene_json,
+        )
+
+        desc = parse_scene_json(os.path.join(REF_ASSETS, "scenes/demo.json"))
+        res = ResourceManager(assets_root=REF_ASSETS)
+        cfg = load_physics_config(os.path.join(REF_ASSETS, "config/physics.json"))
+        return build_scene(desc, res, cfg)
+
+    def test_demo_scene_renders(self, demo):
+        cam = Camera()  # default: (0,2,-7) facing +Z
+        state = demo.initial_state
+        w, h = 320, 180
+        frame = render_frame(
+            demo.render, state.world,
+            cam.view_matrix(), cam.proj_matrix(w / h),
+            jnp.asarray(cam.position), width=w, height=h,
+        )
+        img = np.asarray(frame)
+        assert img.shape == (h, w, 4) and img.dtype == np.uint8
+        # sky clear color where nothing drawn (top rows)
+        np.testing.assert_array_equal(img[0, 0, :3], [0x88, 0xAA, 0xFF])
+        # something was drawn (ground covers lower half)
+        non_sky = (img[..., :3] != [0x88, 0xAA, 0xFF]).any(-1)
+        assert non_sky.mean() > 0.2
+        # lower half mostly ground (checker texture: not sky)
+        assert non_sky[h - 10].mean() > 0.9
+
+    def test_demo_depth_only(self, demo):
+        cam = Camera()
+        state = demo.initial_state
+        depth = render_frame(
+            demo.render, state.world,
+            cam.view_matrix(), cam.proj_matrix(16 / 9),
+            jnp.asarray(cam.position), width=320, height=180, depth_only=True,
+        )
+        d = np.asarray(depth)
+        assert d.shape == (180, 320)
+        # sky at depth 1, ground nearer
+        assert d[0, 0] == 1.0
+        assert d[170, 160] < 1.0
+        # ground gets farther toward the horizon
+        assert d[100, 160] > d[170, 160]
+
+    def test_cj_visible_after_landing(self, demo):
+        """Render after sim: CJ's textured mesh appears near screen center."""
+        import dataclasses
+
+        from banggameengine_tpu.engine import make_step_fn
+        from banggameengine_tpu.state import InputFrame
+
+        state = demo.initial_state
+        fn = make_step_fn(demo.static, donate=False)
+        for _ in range(300):
+            state, _ = fn(state, InputFrame.zero())
+
+        cj = demo.find_entity("cj")
+        cam = Camera()
+        cam.position = np.array([0.0, 3.5, -9.0], np.float32)
+        w, h = 320, 180
+        frame_with = render_frame(
+            demo.render, state.world, cam.view_matrix(),
+            cam.proj_matrix(w / h), jnp.asarray(cam.position),
+            width=w, height=h,
+        )
+        # hide CJ by moving him far away -> pixels must change
+        state_no = dataclasses.replace(
+            state, world=state.world.at[cj, :3, 3].add(jnp.asarray([0.0, -1000.0, 0.0]))
+        )
+        frame_without = render_frame(
+            demo.render, state_no.world, cam.view_matrix(),
+            cam.proj_matrix(w / h), jnp.asarray(cam.position),
+            width=w, height=h,
+        )
+        diff = (np.asarray(frame_with).astype(int) - np.asarray(frame_without).astype(int))
+        changed = (np.abs(diff).sum(-1) > 10).mean()
+        assert changed > 0.002  # CJ occupies some pixels
