@@ -57,6 +57,19 @@ def make_step_fn(
     return jax.jit(fn, donate_argnums=(0,) if donate else ())
 
 
+def make_hot_reloadable_step_fn(
+    solver_iterations: int = 10,
+) -> Callable[[WorldState, InputFrame, StaticScene], tuple[WorldState, StepEvents]]:
+    """Jitted step with the StaticScene as a *traced* argument.
+
+    Config hot reload (the reference's mtime-polled ``physics.json`` reload,
+    ``PhysicsSystem.cpp:216-324``) then just passes a rebuilt StaticScene of
+    identical shapes — no recompilation.
+    """
+    fn = functools.partial(engine_step, solver_iterations=solver_iterations)
+    return jax.jit(lambda s, i, st: fn(s, i, st))
+
+
 def make_multi_step_fn(
     static: StaticScene,
     num_steps: int,

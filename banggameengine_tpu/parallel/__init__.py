@@ -1,0 +1,13 @@
+from banggameengine_tpu.parallel.manyworld import (
+    make_world_mesh,
+    make_sharded_many_world_step,
+    replicate_state,
+    replicate_input,
+)
+
+__all__ = [
+    "make_world_mesh",
+    "make_sharded_many_world_step",
+    "replicate_state",
+    "replicate_input",
+]

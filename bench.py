@@ -1,0 +1,260 @@
+"""Benchmark harness — prints ONE JSON line for the driver.
+
+Headline metric (default config ``manyworld``, BASELINE.json north star):
+SandboxCity physics world-steps/sec/chip with 10k rigid bodies simulated as
+1k vmapped worlds x 10 bodies, stepped in lockstep on the available chip(s).
+``vs_baseline`` = value / 10,000 (the target floor).
+
+Other configs (BASELINE.json "configs"):
+  demo      — single demo-scene world, headless steps/sec
+  stress    — single world with many falling boxes, steps/sec
+  cull      — frustum cull + vertex transform + depth-only raster, frames/sec
+  frame     — full shaded 1080p frame loop (sim step + render), frames/sec
+
+Usage: python bench.py [config] [--steps N] [--worlds W] [--bodies B]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+
+def _time_dispatches(fn, args, *, warmup=2, reps=5):
+    """Median wall time of fn(*args) with device sync."""
+    import jax
+
+    for _ in range(warmup):
+        out = fn(*args)
+        jax.block_until_ready(out)
+    times = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        out = fn(*args)
+        jax.block_until_ready(out)
+        times.append(time.perf_counter() - t0)
+    times.sort()
+    return times[len(times) // 2], out
+
+
+def bench_manyworld(num_worlds=1000, bodies_per_world=8, steps_per_dispatch=50):
+    import jax
+
+    from banggameengine_tpu.parallel import (
+        make_sharded_many_world_step, make_world_mesh,
+        replicate_input, replicate_state,
+    )
+    from banggameengine_tpu.parallel.manyworld import shard_batched
+    from banggameengine_tpu.scene.synthetic import build_falling_boxes
+    from banggameengine_tpu.state import InputFrame
+
+    # 8 dynamic boxes + character + trigger = 10 collision objects/world
+    state, static = build_falling_boxes(
+        bodies_per_world, with_character=True, with_trigger=True
+    )
+    mesh = make_world_mesh()
+    bstate = shard_batched(replicate_state(state, num_worlds), mesh)
+    binp = shard_batched(replicate_input(InputFrame.zero(), num_worlds), mesh)
+    step = make_sharded_many_world_step(
+        static, mesh, num_steps=steps_per_dispatch
+    )
+
+    def run(s):
+        return step(s, binp)
+
+    # donation invalidates the arg; re-donate the output each rep
+    import jax
+
+    t_total = None
+    for phase in ("warmup", "timed"):
+        reps = 2 if phase == "warmup" else 5
+        times = []
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            bstate = run(bstate)
+            jax.block_until_ready(bstate)
+            times.append(time.perf_counter() - t0)
+        if phase == "timed":
+            times.sort()
+            t_total = times[len(times) // 2]
+
+    world_steps_per_sec = num_worlds * steps_per_dispatch / t_total
+    n_chips = len(jax.devices())
+    value = world_steps_per_sec / n_chips
+    return {
+        "metric": f"world-steps/sec/chip ({num_worlds} worlds x "
+        f"{bodies_per_world + 2} bodies, lockstep x{steps_per_dispatch})",
+        "value": round(value, 1),
+        "unit": "world-steps/sec/chip",
+        "vs_baseline": round(value / 10000.0, 3),
+    }
+
+
+def bench_demo(steps_per_dispatch=100):
+    import jax
+
+    from banggameengine_tpu.engine import make_multi_step_fn
+    from banggameengine_tpu.state import InputFrame
+    from __graft_entry__ import _load_demo_scene
+
+    state, static = _load_demo_scene()
+    run = make_multi_step_fn(static, steps_per_dispatch)
+    inp = InputFrame.zero()
+
+    times = []
+    for i in range(7):
+        t0 = time.perf_counter()
+        state = run(state, inp)
+        jax.block_until_ready(state)
+        if i >= 2:
+            times.append(time.perf_counter() - t0)
+    times.sort()
+    value = steps_per_dispatch / times[len(times) // 2]
+    return {
+        "metric": "demo-scene headless steps/sec (single world)",
+        "value": round(value, 1),
+        "unit": "steps/sec",
+        "vs_baseline": round(value / 120.0, 2),  # 120 Hz realtime budget
+    }
+
+
+def bench_stress(num_bodies=512, steps_per_dispatch=20):
+    import jax
+
+    from banggameengine_tpu.engine import make_multi_step_fn
+    from banggameengine_tpu.scene.synthetic import build_falling_boxes
+    from banggameengine_tpu.state import InputFrame
+
+    state, static = build_falling_boxes(num_bodies)
+    run = make_multi_step_fn(static, steps_per_dispatch)
+    inp = InputFrame.zero()
+    times = []
+    for i in range(6):
+        t0 = time.perf_counter()
+        state = run(state, inp)
+        jax.block_until_ready(state)
+        if i >= 2:
+            times.append(time.perf_counter() - t0)
+    times.sort()
+    value = steps_per_dispatch / times[len(times) // 2]
+    return {
+        "metric": f"physics stress steps/sec ({num_bodies} falling boxes)",
+        "value": round(value, 1),
+        "unit": "steps/sec",
+        "vs_baseline": round(value / 120.0, 2),
+    }
+
+
+def _render_setup(width, height, depth_only):
+    import jax.numpy as jnp
+
+    from banggameengine_tpu.render.camera import Camera
+    from banggameengine_tpu.render.pipeline import make_render_fn
+    from __graft_entry__ import _load_demo_scene
+
+    try:
+        import os
+
+        from banggameengine_tpu.physics.config import load_physics_config
+        from banggameengine_tpu.scene import (
+            ResourceManager, build_scene, parse_scene_json,
+        )
+
+        assets = os.environ.get("BANG_ASSETS_DIR", "/root/reference/assets")
+        desc = parse_scene_json(os.path.join(assets, "scenes/demo.json"))
+        built = build_scene(
+            desc, ResourceManager(assets_root=assets),
+            load_physics_config(os.path.join(assets, "config/physics.json")),
+        )
+        render_scene, world = built.render, built.initial_state.world
+        static, state = built.static, built.initial_state
+    except Exception:
+        raise SystemExit("render bench needs the demo assets mounted")
+
+    cam = Camera()
+    cam.position[:] = (0.0, 4.0, -10.5)
+    cam.set_yaw_pitch(3.14159 / 2, -0.12)
+    rfn = make_render_fn(render_scene, width, height,
+                         bin_capacity=2048, depth_only=depth_only)
+    args = (world, cam.view_matrix(), cam.proj_matrix(width / height),
+            jnp.asarray(cam.position))
+    return rfn, args, static, state
+
+
+def bench_cull(width=1920, height=1080):
+    rfn, args, _, _ = _render_setup(width, height, depth_only=True)
+    t, _ = _time_dispatches(rfn, args)
+    value = 1.0 / t
+    return {
+        "metric": f"cull+depth raster frames/sec ({width}x{height})",
+        "value": round(value, 1),
+        "unit": "frames/sec",
+        "vs_baseline": round(value / 60.0, 2),
+    }
+
+
+def bench_frame(width=1920, height=1080):
+    import jax
+
+    from banggameengine_tpu.engine import make_step_fn
+    from banggameengine_tpu.state import InputFrame
+
+    rfn, args, static, state = _render_setup(width, height, depth_only=False)
+    sfn = make_step_fn(static, donate=False)
+    inp = InputFrame.zero()
+
+    def frame(s):
+        s2, _ = sfn(s, inp)
+        img = rfn(s2.world, *args[1:])
+        return s2, img
+
+    times = []
+    for i in range(7):
+        t0 = time.perf_counter()
+        state, img = frame(state)
+        jax.block_until_ready(img)
+        if i >= 2:
+            times.append(time.perf_counter() - t0)
+    times.sort()
+    value = 1.0 / times[len(times) // 2]
+    return {
+        "metric": f"full frame loop frames/sec (sim+shaded {width}x{height})",
+        "value": round(value, 1),
+        "unit": "frames/sec",
+        "vs_baseline": round(value / 60.0, 2),
+    }
+
+
+CONFIGS = {
+    "manyworld": bench_manyworld,
+    "demo": bench_demo,
+    "stress": bench_stress,
+    "cull": bench_cull,
+    "frame": bench_frame,
+}
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("config", nargs="?", default="manyworld", choices=CONFIGS)
+    p.add_argument("--worlds", type=int, default=1000)
+    p.add_argument("--bodies", type=int, default=8)
+    p.add_argument("--steps", type=int, default=None)
+    args = p.parse_args(argv)
+
+    kwargs = {}
+    if args.config == "manyworld":
+        kwargs = {"num_worlds": args.worlds, "bodies_per_world": args.bodies}
+        if args.steps:
+            kwargs["steps_per_dispatch"] = args.steps
+    elif args.config in ("demo", "stress") and args.steps:
+        kwargs = {"steps_per_dispatch": args.steps}
+
+    result = CONFIGS[args.config](**kwargs)
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()
