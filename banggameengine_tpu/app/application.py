@@ -259,16 +259,32 @@ class Application:
     # ------------------------------------------------------------------
     # rendering
     # ------------------------------------------------------------------
-    def render_current_frame(self) -> np.ndarray:
-        """uint8[H,W,4] frame of the current state."""
+    def render_current_frame(self, hud: bool = False) -> np.ndarray:
+        """uint8[H,W,4] frame of the current state.
+
+        When ``physics_overlay`` is on (F3), collision-shape wireframes are
+        composited with depth test (the reference's debug-line pass,
+        ``Application.cpp:359-360``); ``hud=True`` adds the debug-text HUD.
+        """
         if self._render is None:
             self._render = make_render_fn(
-                self.built.render, self.width, self.height, bin_capacity=2048
+                self.built.render, self.width, self.height,
+                bin_capacity=2048, return_depth=True,
             )
-        frame = self._render(
-            self.state.world,
-            self.camera.view_matrix(),
-            self.camera.proj_matrix(self.width / self.height),
-            jnp.asarray(self.camera.position),
+        view = self.camera.view_matrix()
+        proj = self.camera.proj_matrix(self.width / self.height)
+        frame, depth = self._render(
+            self.state.world, view, proj, jnp.asarray(self.camera.position)
         )
-        return np.asarray(frame)
+        if self.physics_overlay:
+            from banggameengine_tpu.physics.debugdraw import collision_shape_lines
+            from banggameengine_tpu.render.lines import draw_lines
+
+            pts, cols, valid = collision_shape_lines(self.state, self.built.static)
+            frame = draw_lines(frame, depth, pts, cols, valid, view, proj)
+        out = np.asarray(frame)
+        if hud:
+            from banggameengine_tpu.app.hud import compose_hud, standard_hud_lines
+
+            out = compose_hud(out, standard_hud_lines(self))
+        return out

@@ -14,11 +14,28 @@ import functools
 from typing import Callable
 
 import jax
+import jax.numpy as jnp
 
 from banggameengine_tpu.ecs.transform import update_world_matrices
 from banggameengine_tpu.physics.step import physics_step
 from banggameengine_tpu.state import InputFrame, StaticScene, StepEvents, WorldState
 from banggameengine_tpu.state import tree_replace
+
+
+def visual_positions(state: WorldState, static: StaticScene) -> jax.Array:
+    """Transform positions as the reference scene sees them.
+
+    Characters' capsule *centers* live in ``state.pos``; the reference writes
+    back ``center + visualOffsetY`` with offset = -(capsuleHeight + 2r)/2
+    (``PhysicsSystem.cpp:735-740``, ``:877-914``), i.e. the Transform (and
+    hence render + orbit target) sits at the capsule's feet.
+    """
+    offset = static.char_half_height + static.char_radius  # [C]
+    ce = static.char_entity
+    safe = jnp.where(ce >= 0, ce, 0)
+    pos = state.pos
+    shifted = pos[safe].at[..., 1].add(-offset)
+    return pos.at[safe].set(jnp.where((ce >= 0)[:, None], shifted, pos[safe]))
 
 
 def engine_step(
@@ -34,7 +51,7 @@ def engine_step(
     """
     state, events = physics_step(state, inp, static, solver_iterations)
     world = update_world_matrices(
-        state.pos, state.quat, state.scale,
+        visual_positions(state, static), state.quat, state.scale,
         static.parent, static.level_nodes, state.alive,
     )
     state = tree_replace(state, world=world)

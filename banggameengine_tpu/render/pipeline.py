@@ -34,11 +34,13 @@ def render_frame(
     height: int = 720,
     bin_capacity: int = 512,
     depth_only: bool = False,
+    return_depth: bool = False,
 ):
     """Render one shaded frame (or depth buffer).
 
-    Returns ``uint8[H, W, 4]`` (shaded) or ``f32[H, W]`` NDC depth
-    (``depth_only=True``, driver config #3).
+    Returns ``uint8[H, W, 4]`` (shaded), ``f32[H, W]`` NDC depth
+    (``depth_only=True``, driver config #3), or ``(frame, depth)``
+    (``return_depth=True`` — used by the debug-line overlay pass).
     """
     rs = render_scene
     if light is None:
@@ -76,15 +78,19 @@ def render_frame(
         rs.textures, rs.tex_size,
         camera_pos, light,
     )
+    if return_depth:
+        return frame, vis.depth
     return frame
 
 
 def make_render_fn(render_scene, width: int, height: int,
-                   bin_capacity: int = 512, depth_only: bool = False):
+                   bin_capacity: int = 512, depth_only: bool = False,
+                   return_depth: bool = False):
     """Jitted frame renderer closed over the (static) render scene."""
     fn = functools.partial(
         render_frame, render_scene,
         width=width, height=height,
         bin_capacity=bin_capacity, depth_only=depth_only,
+        return_depth=return_depth,
     )
     return jax.jit(fn)

@@ -1,0 +1,75 @@
+"""Profiling/tracing helpers.
+
+Replaces the reference's hand-rolled timers (frame timer ``Time.cpp:16-29``,
+physics step wall-time around ``stepSimulation`` at
+``PhysicsSystem.cpp:862-867``, F9 stats ``:1330-1341``) and the stubbed bgfx
+profiler hooks (``Renderer.cpp:44-46``) with:
+
+- :class:`StepTimer`: wall-time accumulator with min/max/mean and an
+  F9-style report line;
+- :func:`trace_annotation`: ``jax.profiler.TraceAnnotation`` context for
+  device-timeline traces (viewable in TensorBoard/XProf);
+- :func:`start_trace` / :func:`stop_trace`: whole-program device traces.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import time
+
+
+class StepTimer:
+    """Accumulates wall-clock timings for a named phase."""
+
+    def __init__(self, name: str):
+        self.name = name
+        self.count = 0
+        self.total = 0.0
+        self.last = 0.0
+        self.min = float("inf")
+        self.max = 0.0
+
+    @contextlib.contextmanager
+    def measure(self):
+        t0 = time.perf_counter()
+        try:
+            yield
+        finally:
+            dt = time.perf_counter() - t0
+            self.last = dt
+            self.total += dt
+            self.count += 1
+            self.min = min(self.min, dt)
+            self.max = max(self.max, dt)
+
+    @property
+    def mean(self) -> float:
+        return self.total / self.count if self.count else 0.0
+
+    def report(self) -> str:
+        if not self.count:
+            return f"[{self.name}] no samples"
+        return (
+            f"[{self.name}] last={self.last * 1e3:.3f}ms "
+            f"mean={self.mean * 1e3:.3f}ms min={self.min * 1e3:.3f}ms "
+            f"max={self.max * 1e3:.3f}ms n={self.count}"
+        )
+
+
+def trace_annotation(name: str):
+    """Named region on the device trace timeline."""
+    import jax.profiler
+
+    return jax.profiler.TraceAnnotation(name)
+
+
+def start_trace(log_dir: str) -> None:
+    import jax.profiler
+
+    jax.profiler.start_trace(log_dir)
+
+
+def stop_trace() -> None:
+    import jax.profiler
+
+    jax.profiler.stop_trace()
