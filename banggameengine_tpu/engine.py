@@ -43,13 +43,17 @@ def engine_step(
     inp: InputFrame,
     static: StaticScene,
     solver_iterations: int = 10,
+    **physics_kwargs,
 ) -> tuple[WorldState, StepEvents]:
     """One fixed simulation step: physics then world-matrix refresh.
 
     (The reference re-runs TransformSystem after physics write-back at
     ``Application.cpp:284``; we fold both into the same jitted graph.)
+    ``physics_kwargs`` forward to :func:`physics_step` (broadphase mode,
+    grid parameters).
     """
-    state, events = physics_step(state, inp, static, solver_iterations)
+    state, events = physics_step(state, inp, static, solver_iterations,
+                                 **physics_kwargs)
     world = update_world_matrices(
         visual_positions(state, static), state.quat, state.scale,
         static.parent, static.level_nodes, state.alive,
@@ -62,6 +66,7 @@ def make_step_fn(
     static: StaticScene,
     solver_iterations: int = 10,
     donate: bool = True,
+    **physics_kwargs,
 ) -> Callable[[WorldState, InputFrame], tuple[WorldState, StepEvents]]:
     """Build a jitted single-world step closed over the static scene.
 
@@ -69,7 +74,8 @@ def make_step_fn(
     HBM (no per-step reallocation).
     """
     fn = functools.partial(
-        engine_step, static=static, solver_iterations=solver_iterations
+        engine_step, static=static, solver_iterations=solver_iterations,
+        **physics_kwargs,
     )
     return jax.jit(fn, donate_argnums=(0,) if donate else ())
 
@@ -91,6 +97,7 @@ def make_multi_step_fn(
     static: StaticScene,
     num_steps: int,
     solver_iterations: int = 10,
+    **physics_kwargs,
 ) -> Callable[[WorldState, InputFrame], tuple[WorldState, StepEvents]]:
     """Jitted ``lax.scan`` over ``num_steps`` fixed steps with constant input.
 
@@ -101,7 +108,8 @@ def make_multi_step_fn(
 
     def run(state: WorldState, inp: InputFrame):
         def body(carry, _):
-            s, ev = engine_step(carry, inp, static, solver_iterations)
+            s, ev = engine_step(carry, inp, static, solver_iterations,
+                                **physics_kwargs)
             return s, None
 
         final, _ = jax.lax.scan(body, state, None, length=num_steps)

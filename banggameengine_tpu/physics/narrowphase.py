@@ -5,21 +5,22 @@ plane y=0 (``PhysicsSystem.cpp:149-166``).  This replaces Bullet's
 dispatcher/manifold machinery (``PhysicsSystem.cpp:124-128``) with dense,
 branchless, mask-driven kernels:
 
-- **box-box**: corner-vs-box contacts both ways (8+8 candidate points).
-  Face-face stacking resolves with full 4-corner manifolds; degenerate
-  edge-edge-only configurations are approximated (SURVEY.md §7 "Hard parts":
-  tolerance-based parity, not Bullet bit-exactness).
+- **box-box**: 15-axis SAT MTV (Ericson RTCD 4.4.1) + corner manifold both
+  ways (8+8 candidates laterally contained in the other box) + a SAT-center
+  fallback contact for edge-edge configurations;
 - **box-capsule**: the capsule's core segment sampled at 3 points, each a
-  sphere-vs-box contact.
-- **capsule-capsule**: closest-points sphere-sphere contact.
+  sphere-vs-box contact;
+- **capsule-capsule**: closest-points sphere-sphere contact;
 - **ground**: box corners / capsule end-spheres against y=0.
 
 Contact normal convention: ``normal`` points from body *b* toward body *a*
 (the direction pushing *a* out of *b*).  ``depth > 0`` means penetrating.
 
-Everything is computed densely over an ``[N, N]`` pair matrix (all pairs,
-masked to the upper triangle by the caller) so per-body impulse accumulation
-in the solver is a pure axis-reduction — no scatters on the TPU hot path.
+The core entry point :func:`pair_contacts` is batched over arbitrary leading
+dims, so the same kernels serve both the dense all-pairs ``[N, N]`` path
+(small worlds; per-body impulse accumulation becomes a pure axis reduction)
+and the grid-broadphase neighbor-list ``[N, K]`` path (10k-body stress,
+driver config #2).
 """
 
 from __future__ import annotations
@@ -45,53 +46,48 @@ _LATERAL_MARGIN = 0.02  # corner containment slack for manifold selection
 
 
 def _point_in_obb(pts, pos_b, rot_b, half_b, margin):
-    """Boolean: are points inside the oriented box expanded by margin.
-
-    pts [..., 3]; pos_b/rot_b/half_b broadcastable against pts' batch dims.
-    """
+    """Boolean: points inside the oriented box expanded by margin.
+    pts [..., 3]; box params broadcastable against pts' batch dims."""
     local = jnp.einsum("...ij,...i->...j", rot_b, pts - pos_b)  # R^T (p - c)
     return jnp.all(jnp.abs(local) <= half_b + margin, axis=-1)
 
 
-def _box_box_sat_mtv(pos, rot, half):
-    """Dense [N, N] box-box SAT with minimum-translation vector.
+def box_box_sat_mtv(pos_a, rot_a, half_a, pos_b, rot_b, half_b):
+    """Batched box-box SAT with minimum-translation vector.
 
-    Returns (n [N,N,3] unit axis pointing from box b toward box a,
-    depth [N,N] overlap along that axis, overlap [N,N] bool).
-    Classic 15-axis test (Ericson RTCD 4.4.1) with normalized cross axes so
-    overlaps are comparable across axis families.
+    Inputs broadcast to a common batch shape ``B``; returns
+    (n f32[B,3] unit axis from b toward a, depth f32[B], overlap bool[B]).
     """
-    n_ = pos.shape[0]
-    ra_cols = rot[:, None]                     # [N,1,3,3] box a axes (columns)
-    rb_cols = rot[None, :]
-    r = jnp.einsum("abki,abkj->abij", ra_cols, rb_cols)  # R = A^T B
+    b_shape = jnp.broadcast_shapes(pos_a.shape[:-1], pos_b.shape[:-1])
+    pos_a = jnp.broadcast_to(pos_a, b_shape + (3,))
+    pos_b = jnp.broadcast_to(pos_b, b_shape + (3,))
+    rot_a = jnp.broadcast_to(rot_a, b_shape + (3, 3))
+    rot_b = jnp.broadcast_to(rot_b, b_shape + (3, 3))
+    half_a = jnp.broadcast_to(half_a, b_shape + (3,))
+    half_b = jnp.broadcast_to(half_b, b_shape + (3,))
+    r = jnp.einsum("...ki,...kj->...ij", rot_a, rot_b)   # R = A^T B
     abs_r = jnp.abs(r)
-    t_world = pos[None, :] - pos[:, None]      # from a to b
-    t_a = jnp.einsum("abki,abk->abi", ra_cols, t_world)  # in A frame
-    ha = half[:, None]
-    hb = half[None, :]
+    t_world = pos_b - pos_a
+    t_a = jnp.einsum("...ki,...k->...i", rot_a, t_world)
+    t_b = jnp.einsum("...ki,...k->...i", rot_b, t_world)
+    ha, hb = half_a, half_b
 
-    overlaps = []
-    axes = []
-    valids = []
+    overlaps, axes, valids = [], [], []
+    ones = jnp.ones(t_a.shape[:-1], bool)
 
-    # A's face axes
-    for i in range(3):
+    for i in range(3):  # A's face axes
         dist = jnp.abs(t_a[..., i])
-        ov = ha[..., i] + jnp.einsum("abj,abj->ab", hb, abs_r[..., i, :]) - dist
+        ov = ha[..., i] + jnp.einsum("...j,...j->...", hb, abs_r[..., i, :]) - dist
         overlaps.append(ov)
-        axes.append(jnp.broadcast_to(ra_cols[..., :, i], (n_, n_, 3)))
-        valids.append(jnp.ones((n_, n_), bool))
-    # B's face axes
-    t_b = jnp.einsum("abki,abk->abi", rb_cols, t_world)
-    for j in range(3):
+        axes.append(rot_a[..., :, i])
+        valids.append(ones)
+    for j in range(3):  # B's face axes
         dist = jnp.abs(t_b[..., j])
-        ov = jnp.einsum("abi,abi->ab", ha, abs_r[..., :, j]) + hb[..., j] - dist
+        ov = jnp.einsum("...i,...i->...", ha, abs_r[..., :, j]) + hb[..., j] - dist
         overlaps.append(ov)
-        axes.append(jnp.broadcast_to(rb_cols[..., :, j], (n_, n_, 3)))
-        valids.append(jnp.ones((n_, n_), bool))
-    # cross axes A_i x B_j
-    for i in range(3):
+        axes.append(rot_b[..., :, j])
+        valids.append(ones)
+    for i in range(3):  # cross axes A_i x B_j
         i1, i2 = (i + 1) % 3, (i + 2) % 3
         for j in range(3):
             j1, j2 = (j + 1) % 3, (j + 2) % 3
@@ -100,17 +96,17 @@ def _box_box_sat_mtv(pos, rot, half):
             inv_ln = 1.0 / jnp.maximum(ln, 1e-4)
             ra_ij = ha[..., i1] * abs_r[..., i2, j] + ha[..., i2] * abs_r[..., i1, j]
             rb_ij = hb[..., j1] * abs_r[..., i, j2] + hb[..., j2] * abs_r[..., i, j1]
-            dist = jnp.abs(t_a[..., i2] * r[..., i1, j] - t_a[..., i1] * r[..., i2, j])
+            dist = jnp.abs(
+                t_a[..., i2] * r[..., i1, j] - t_a[..., i1] * r[..., i2, j]
+            )
             overlaps.append((ra_ij + rb_ij - dist) * inv_ln)
-            axis_w = jnp.cross(
-                jnp.broadcast_to(ra_cols[..., :, i], (n_, n_, 3)),
-                jnp.broadcast_to(rb_cols[..., :, j], (n_, n_, 3)),
-            ) * inv_ln[..., None]
-            axes.append(axis_w)
+            axes.append(
+                jnp.cross(rot_a[..., :, i], rot_b[..., :, j]) * inv_ln[..., None]
+            )
             valids.append(ok)
 
-    ov_all = jnp.stack(overlaps, axis=-1)      # [N,N,15]
-    ax_all = jnp.stack(axes, axis=-2)          # [N,N,15,3]
+    ov_all = jnp.stack(overlaps, axis=-1)                # [B,15]
+    ax_all = jnp.stack(axes, axis=-2)                    # [B,15,3]
     va_all = jnp.stack(valids, axis=-1)
 
     separated = jnp.any(jnp.where(va_all, ov_all, jnp.inf) < 0.0, axis=-1)
@@ -118,8 +114,7 @@ def _box_box_sat_mtv(pos, rot, half):
     best = jnp.argmin(ov_masked, axis=-1)
     depth = jnp.take_along_axis(ov_masked, best[..., None], axis=-1)[..., 0]
     axis = jnp.take_along_axis(ax_all, best[..., None, None], axis=-2)[..., 0, :]
-    # orient from b toward a
-    sign = jnp.sign(jnp.einsum("abk,abk->ab", axis, -t_world))
+    sign = jnp.sign(jnp.einsum("...k,...k->...", axis, -t_world))
     sign = jnp.where(sign == 0.0, 1.0, sign)
     axis = axis * sign[..., None]
     overlap = ~separated & jnp.isfinite(depth)
@@ -128,172 +123,174 @@ def _box_box_sat_mtv(pos, rot, half):
 
 
 def _sphere_box_contact(center, radius, pos_b, quat_b, half_b):
-    """Sphere vs oriented box.  Returns (depth, normal_world out of box,
-    point_world on box surface)."""
+    """Sphere vs oriented box -> (depth, normal_world out of box,
+    point_world on box surface).  Broadcasts."""
     qc = math3d.quat_conj(quat_b)
     local = math3d.quat_rotate(qc, center - pos_b)
     p_local, n_local, sdist = sh.closest_point_on_box(local, half_b)
-    depth = radius - sdist  # sdist<0 inside -> depth > radius
+    depth = radius - sdist
     n_world = math3d.quat_rotate(quat_b, n_local)
     p_world = math3d.quat_rotate(quat_b, p_local) + pos_b
     return depth, n_world, p_world
 
 
-def pair_contacts_dense(pos, quat, shape_type, size):
-    """All-pairs dense contact generation.
+def _proj_half(rot, half, axis):
+    """Support extent of an oriented box along a unit axis."""
+    return jnp.sum(half * jnp.abs(jnp.einsum("...ij,...i->...j", rot, axis)), -1)
 
-    Inputs are per-entity arrays over capacity N; output arrays are
-    ``[N, N, K_PAIR]`` where entry (a, b, k) is a candidate contact between
-    bodies a and b.  The caller masks validity (upper triangle, aliveness,
-    layer filters, depth > 0).
 
-    Returns (point, normal, depth, geom_valid) where geom_valid marks slots
-    whose shape-type case applies (independent of penetration).
+def pair_contacts(
+    pos_a, quat_a, type_a, size_a,
+    pos_b, quat_b, type_b, size_b,
+):
+    """Contact manifold for batched shape pairs.
+
+    All inputs broadcastable to a common batch shape ``B``.  Returns
+    (point f32[B,K_PAIR,3], normal f32[B,K_PAIR,3] from b toward a,
+    depth f32[B,K_PAIR], gvalid bool[B,K_PAIR]) — gvalid marks slots whose
+    shape-type case applies (penetration is ``depth > 0``).
     """
-    n = pos.shape[0]
-    is_box = shape_type == SHAPE_BOX
-    is_cap = shape_type == SHAPE_CAPSULE
+    b_shape = jnp.broadcast_shapes(
+        pos_a.shape[:-1], pos_b.shape[:-1], type_a.shape, type_b.shape
+    )
+    pos_a = jnp.broadcast_to(pos_a, b_shape + (3,))
+    pos_b = jnp.broadcast_to(pos_b, b_shape + (3,))
+    quat_a = jnp.broadcast_to(quat_a, b_shape + (4,))
+    quat_b = jnp.broadcast_to(quat_b, b_shape + (4,))
+    size_a = jnp.broadcast_to(size_a, b_shape + (3,))
+    size_b = jnp.broadcast_to(size_b, b_shape + (3,))
+    type_a = jnp.broadcast_to(type_a, b_shape)
+    type_b = jnp.broadcast_to(type_b, b_shape)
 
-    # --- block 1: box-box SAT manifold (slots 0..16) ----------------------
-    rot = math3d.quat_to_mat3(quat)
-    sat_n, sat_depth, sat_overlap = _box_box_sat_mtv(pos, rot, size)
-    corners = sh.box_corners(pos, quat, size)  # [N, 8, 3]
+    a_box = type_a == SHAPE_BOX
+    b_box = type_b == SHAPE_BOX
+    a_cap = type_a == SHAPE_CAPSULE
+    b_cap = type_b == SHAPE_CAPSULE
 
-    # support extents of each box along the MTV axis
-    # proj_half(X along n) = sum_i hx_i |n . X_i|
-    def proj_half(rot_x, half_x, axis):
-        # rot_x [...,3,3] columns are body axes; axis [...,3]
-        return jnp.sum(
-            half_x * jnp.abs(jnp.einsum("...ij,...i->...j", rot_x, axis)), -1
-        )
+    rot_a = math3d.quat_to_mat3(quat_a)
+    rot_b = math3d.quat_to_mat3(quat_b)
 
-    # b's farthest extent along n (from b to a): plane corners of A must not
-    # exceed; per-corner depth = (n.pos_b + projb) - n.corner
-    projb = proj_half(rot[None, :], size[None, :], sat_n)     # [N,N]
-    proja = proj_half(rot[:, None], size[:, None], sat_n)
-    plane_b = jnp.einsum("abk,bk->ab", sat_n, pos) + projb     # b's top along n
-    plane_a = (
-        jnp.einsum("abk,ak->ab", sat_n, pos) - proja
-    )                                                          # a's bottom along n
+    # ---- box-box SAT manifold (slots 0..16) ------------------------------
+    sat_n, sat_depth, sat_overlap = box_box_sat_mtv(
+        pos_a, rot_a, size_a, pos_b, rot_b, size_b
+    )
+    corners_a = sh.box_corners(pos_a, quat_a, size_a)     # [B,8,3]
+    corners_b = sh.box_corners(pos_b, quat_b, size_b)
 
-    # corners of A: depth = plane_b - n.c ; laterally contained in B(+margin)
-    ca = corners[:, None]                                      # [N,1,8,3] -> b'cast
-    n_dot_ca = jnp.einsum("abk,abck->abc", sat_n, jnp.broadcast_to(ca, (n, n, 8, 3)))
-    depth_a = plane_b[..., None] - n_dot_ca                    # [N,N,8]
+    projb = _proj_half(rot_b, size_b, sat_n)
+    proja = _proj_half(rot_a, size_a, sat_n)
+    plane_b = jnp.einsum("...k,...k->...", sat_n, pos_b) + projb
+    plane_a = jnp.einsum("...k,...k->...", sat_n, pos_a) - proja
+
+    n_dot_ca = jnp.einsum("...k,...ck->...c", sat_n, corners_a)
+    depth_ca = plane_b[..., None] - n_dot_ca              # [B,8]
     inside_b = _point_in_obb(
-        jnp.broadcast_to(ca, (n, n, 8, 3)),
-        pos[None, :, None], rot[None, :, None], size[None, :, None],
-        _LATERAL_MARGIN,
+        corners_a, pos_b[..., None, :], rot_b[..., None, :, :],
+        size_b[..., None, :], _LATERAL_MARGIN,
     )
-    valid_a = inside_b & (depth_a <= sat_depth[..., None] + _LATERAL_MARGIN)
-    pts_a = jnp.broadcast_to(ca, (n, n, 8, 3))
+    valid_ca = inside_b & (depth_ca <= sat_depth[..., None] + _LATERAL_MARGIN)
 
-    # corners of B: depth = n.c - plane_a ; contained in A(+margin)
-    cb = corners[None, :]                                      # [1,N,8,3]
-    n_dot_cb = jnp.einsum("abk,abck->abc", sat_n, jnp.broadcast_to(cb, (n, n, 8, 3)))
-    depth_b = n_dot_cb - plane_a[..., None]
+    n_dot_cb = jnp.einsum("...k,...ck->...c", sat_n, corners_b)
+    depth_cb = n_dot_cb - plane_a[..., None]
     inside_a = _point_in_obb(
-        jnp.broadcast_to(cb, (n, n, 8, 3)),
-        pos[:, None, None], rot[:, None, None], size[:, None, None],
-        _LATERAL_MARGIN,
+        corners_b, pos_a[..., None, :], rot_a[..., None, :, :],
+        size_a[..., None, :], _LATERAL_MARGIN,
     )
-    valid_b = inside_a & (depth_b <= sat_depth[..., None] + _LATERAL_MARGIN)
-    pts_b = jnp.broadcast_to(cb, (n, n, 8, 3))
+    valid_cb = inside_a & (depth_cb <= sat_depth[..., None] + _LATERAL_MARGIN)
 
-    # SAT center contact (covers edge-edge where no corner is contained):
-    # midpoint of the two support points along +/- n
-    sup_a = pos[:, None] - jnp.einsum(
-        "abij,abj->abi",
-        jnp.broadcast_to(rot[:, None], (n, n, 3, 3)),
-        size[:, None] * jnp.sign(jnp.einsum("abij,abi->abj", jnp.broadcast_to(rot[:, None], (n, n, 3, 3)), sat_n)),
+    # SAT-center fallback: midpoint of support points along +/- n
+    sup_a = pos_a - jnp.einsum(
+        "...ij,...j->...i", rot_a,
+        size_a * jnp.sign(jnp.einsum("...ij,...i->...j", rot_a, sat_n)),
     )
-    sup_b = pos[None, :] + jnp.einsum(
-        "abij,abj->abi",
-        jnp.broadcast_to(rot[None, :], (n, n, 3, 3)),
-        size[None, :] * jnp.sign(jnp.einsum("abij,abi->abj", jnp.broadcast_to(rot[None, :], (n, n, 3, 3)), sat_n)),
+    sup_b = pos_b + jnp.einsum(
+        "...ij,...j->...i", rot_b,
+        size_b * jnp.sign(jnp.einsum("...ij,...i->...j", rot_b, sat_n)),
     )
-    pts_c = 0.5 * (sup_a + sup_b)[:, :, None]                  # [N,N,1,3]
-    depth_c = sat_depth[..., None]
-    # center contact only when no corner contact was found (keeps face-face
-    # manifolds to their 4 corner points)
-    any_corner = jnp.any(valid_a, -1) | jnp.any(valid_b, -1)
-    valid_c = (~any_corner)[..., None]
+    center_pt = (0.5 * (sup_a + sup_b))[..., None, :]
+    center_depth = sat_depth[..., None]
+    any_corner = jnp.any(valid_ca, -1) | jnp.any(valid_cb, -1)
+    center_valid = (~any_corner)[..., None]
 
-    bb_pair = is_box[:, None] & is_box[None, :]
-    bb_gate = (bb_pair & sat_overlap)[..., None]
-    bb_pts = jnp.concatenate([pts_a, pts_b, pts_c], axis=2)    # [N,N,17,3]
-    bb_n = jnp.broadcast_to(sat_n[:, :, None], (n, n, K_BB, 3))
-    bb_depth = jnp.concatenate([depth_a, depth_b, depth_c], axis=2)
-    bb_gvalid = jnp.concatenate([valid_a, valid_b, valid_c], axis=2) & bb_gate
+    bb_gate = (a_box & b_box & sat_overlap)[..., None]
+    bb_pts = jnp.concatenate([corners_a, corners_b, center_pt], axis=-2)
+    bb_n = jnp.broadcast_to(sat_n[..., None, :], b_shape + (K_BB, 3))
+    bb_depth = jnp.concatenate([depth_ca, depth_cb, center_depth], axis=-1)
+    bb_gvalid = (
+        jnp.concatenate([valid_ca, valid_cb, center_valid], axis=-1) & bb_gate
+    )
 
-    # --- block 2: box-capsule sphere samples (slots 16..18) ---------------
-    seg_a, seg_b = sh.capsule_segment(pos, quat, size[..., 1])  # [N,3] each
-    # sample points along each entity's capsule segment: [N, 3smp, 3]
-    samples = seg_a[:, None, :] + (seg_b - seg_a)[:, None, :] * _CAP_TS[None, :, None]
-    radius = size[..., 0]
+    # ---- box-capsule sphere samples (slots 17..19) -----------------------
+    seg_a0, seg_a1 = sh.capsule_segment(pos_a, quat_a, size_a[..., 1])
+    seg_b0, seg_b1 = sh.capsule_segment(pos_b, quat_b, size_b[..., 1])
+    samp_a = seg_a0[..., None, :] + (seg_a1 - seg_a0)[..., None, :] * _CAP_TS[:, None]
+    samp_b = seg_b0[..., None, :] + (seg_b1 - seg_b0)[..., None, :] * _CAP_TS[:, None]
+    rad_a = size_a[..., 0]
+    rad_b = size_b[..., 0]
 
-    # case A: a is capsule, b is box — spheres of a vs box b
+    # a capsule vs b box
     d_cb, n_cb, p_cb = _sphere_box_contact(
-        samples[:, None],                       # [N,1,3smp,3]
-        radius[:, None, None],
-        pos[None, :, None], quat[None, :, None], size[None, :, None],
+        samp_a, rad_a[..., None],
+        pos_b[..., None, :], quat_b[..., None, :], size_b[..., None, :],
     )
-    # normal out of box b == from b toward a ✓
-
-    # case B: a is box, b is capsule — spheres of b vs box a
+    # a box vs b capsule (spheres of b against box a; flip normal)
     d_bc, n_bc_outa, p_bc = _sphere_box_contact(
-        samples[None, :],                       # [1,N,3smp,3] b's samples
-        radius[None, :, None],
-        pos[:, None, None], quat[:, None, None], size[:, None, None],
+        samp_b, rad_b[..., None],
+        pos_a[..., None, :], quat_a[..., None, :], size_a[..., None, :],
     )
-    n_bc = -n_bc_outa  # push a out of b = -(out of box a)
-
-    a_cap_b_box = (is_cap[:, None] & is_box[None, :])[..., None]
-    a_box_b_cap = (is_box[:, None] & is_cap[None, :])[..., None]
+    a_cap_b_box = (a_cap & b_box)[..., None]
+    a_box_b_cap = (a_box & b_cap)[..., None]
     bc_pts = jnp.where(a_cap_b_box[..., None], p_cb, p_bc)
-    bc_n = jnp.where(a_cap_b_box[..., None], n_cb, n_bc)
+    bc_n = jnp.where(a_cap_b_box[..., None], n_cb, -n_bc_outa)
     bc_depth = jnp.where(a_cap_b_box, d_cb, d_bc)
-    bc_gvalid = jnp.broadcast_to(a_cap_b_box | a_box_b_cap, (n, n, 3))
+    bc_gvalid = jnp.broadcast_to(a_cap_b_box | a_box_b_cap, b_shape + (3,))
 
-    # --- block 3: capsule-capsule (slot 19) -------------------------------
-    c1, c2 = sh.closest_segment_segment(
-        seg_a[:, None], seg_b[:, None], seg_a[None, :], seg_b[None, :]
-    )  # [N,N,3] closest points on a's and b's segments
+    # ---- capsule-capsule (slot 20) ---------------------------------------
+    c1, c2 = sh.closest_segment_segment(seg_a0, seg_a1, seg_b0, seg_b1)
     delta = c1 - c2
     dist = jnp.linalg.norm(delta, axis=-1)
-    cc_n = delta / jnp.maximum(dist, 1e-9)[..., None]  # from b to a ✓
-    # coincident segments: fall back to +Y
-    cc_n = jnp.where(dist[..., None] > 1e-9, cc_n, jnp.asarray([0.0, 1.0, 0.0]))
-    cc_depth = radius[:, None] + radius[None, :] - dist
+    cc_n = jnp.where(
+        dist[..., None] > 1e-9,
+        delta / jnp.maximum(dist, 1e-9)[..., None],
+        jnp.asarray([0.0, 1.0, 0.0]),
+    )
+    cc_depth = rad_a + rad_b - dist
     cc_pt = 0.5 * (c1 + c2)
-    cc_gvalid = is_cap[:, None] & is_cap[None, :]
+    cc_gvalid = a_cap & b_cap
 
-    point = jnp.concatenate([bb_pts, bc_pts, cc_pt[:, :, None]], axis=2)
-    normal = jnp.concatenate([bb_n, bc_n, cc_n[:, :, None]], axis=2)
-    depth = jnp.concatenate([bb_depth, bc_depth, cc_depth[:, :, None]], axis=2)
-    gvalid = jnp.concatenate([bb_gvalid, bc_gvalid, cc_gvalid[:, :, None]], axis=2)
+    point = jnp.concatenate([bb_pts, bc_pts, cc_pt[..., None, :]], axis=-2)
+    normal = jnp.concatenate([bb_n, bc_n, cc_n[..., None, :]], axis=-2)
+    depth = jnp.concatenate([bb_depth, bc_depth, cc_depth[..., None]], axis=-1)
+    gvalid = jnp.concatenate([bb_gvalid, bc_gvalid, cc_gvalid[..., None]], axis=-1)
     return point, normal, depth, gvalid
+
+
+def pair_contacts_dense(pos, quat, shape_type, size):
+    """All-pairs dense contacts over entity arrays: outputs [N, N, K_PAIR]."""
+    return pair_contacts(
+        pos[:, None], quat[:, None], shape_type[:, None], size[:, None],
+        pos[None, :], quat[None, :], shape_type[None, :], size[None, :],
+    )
 
 
 def ground_contacts(pos, quat, shape_type, size):
     """Contacts of every shape against the implicit static plane y=0.
 
-    Returns (point [N,K_GROUND,3], normal [N,K_GROUND,3] = +Y, depth,
-    geom_valid).  Boxes contribute their 8 corners; capsules their two
-    end-spheres (slots 0-1).
+    Returns (point [N,K_GROUND,3], normal (+Y), depth, geom_valid).
+    Boxes contribute their 8 corners; capsules their two end-spheres.
     """
     n = pos.shape[0]
     is_box = shape_type == SHAPE_BOX
     is_cap = shape_type == SHAPE_CAPSULE
 
     corners = sh.box_corners(pos, quat, size)        # [N,8,3]
-    box_depth = -corners[..., 1]                      # below y=0 => positive
+    box_depth = -corners[..., 1]
 
     seg_a, seg_b = sh.capsule_segment(pos, quat, size[..., 1])
     ends = jnp.stack([seg_a, seg_b], axis=1)          # [N,2,3]
     radius = size[..., 0]
-    cap_depth = radius[:, None] - ends[..., 1]        # r - y
-    cap_pts = ends.at[..., 1].add(-radius[:, None])   # lowest sphere points
+    cap_depth = radius[:, None] - ends[..., 1]
+    cap_pts = ends.at[..., 1].add(-radius[:, None])
 
     pts = jnp.where(is_box[:, None, None], corners,
                     jnp.concatenate([cap_pts, jnp.zeros((n, 6, 3))], axis=1))
@@ -304,26 +301,26 @@ def ground_contacts(pos, quat, shape_type, size):
         jnp.ones((n, K_GROUND), bool),
         jnp.concatenate([jnp.ones((n, 2), bool), jnp.zeros((n, 6), bool)], axis=1),
     ) & (is_box | is_cap)[:, None]
-    normal = jnp.broadcast_to(jnp.asarray([0.0, 1.0, 0.0], jnp.float32), (n, K_GROUND, 3))
+    normal = jnp.broadcast_to(
+        jnp.asarray([0.0, 1.0, 0.0], jnp.float32), (n, K_GROUND, 3)
+    )
     return pts, normal, depth, slot_valid
 
 
 def boolean_overlap_matrix(pos, quat, shape_type, size, margin: float = 0.0):
     """Exact-ish boolean shape overlap [N, N] used by triggers.
 
-    Box-box uses a 15-axis SAT; box-capsule uses the sampled sphere contacts;
-    capsule-capsule the segment distance.  (Bullet's ghost triggers fire on
-    broadphase AABB pairs, ``PhysicsSystem.cpp:1017-1074`` via
-    btPairCachingGhostObject; we keep trigger tests at true shape overlap and
-    expose AABB mode separately in the trigger module.)
+    Box-box via SAT; mixed/capsule via the contact helpers.
     """
     point, normal, depth, gvalid = pair_contacts_dense(pos, quat, shape_type, size)
     del point, normal
     pen = jnp.any(gvalid & (depth > -margin), axis=-1)
 
-    # SAT for box-box (corner tests alone miss edge-edge overlap)
     rot = math3d.quat_to_mat3(quat)
-    _, _, sat_overlap = _box_box_sat_mtv(pos, rot, size)
+    _, _, sat_overlap = box_box_sat_mtv(
+        pos[:, None], rot[:, None], size[:, None],
+        pos[None, :], rot[None, :], size[None, :],
+    )
     is_box = shape_type == SHAPE_BOX
     bb = is_box[:, None] & is_box[None, :]
     return jnp.where(bb, sat_overlap, pen)

@@ -49,6 +49,11 @@ def physics_step(
     inp: InputFrame,
     static: StaticScene,
     solver_iterations: int = SOLVER_ITERATIONS,
+    broadphase: str = "dense",
+    grid_cell_size: float = 2.5,
+    grid_table_size: int = 4096,
+    grid_cell_capacity: int = 8,
+    max_neighbors: int = 16,
 ) -> tuple[WorldState, StepEvents]:
     dt = static.fixed_dt
     n = state.capacity
@@ -107,28 +112,14 @@ def physics_step(
     gravity_vec = jnp.asarray([0.0, 1.0, 0.0], jnp.float32) * static.gravity
     vel = jnp.where(is_dynamic[:, None], vel + gravity_vec * dt, vel)
 
-    # narrowphase (dense all-pairs)
-    p_point, p_normal, p_depth, p_gvalid = nf.pair_contacts_dense(
-        pos, quat, static.shape_type, static.shape_size
-    )
+    is_char = (state.comp_mask & COMP_CHARACTER) != 0
+    # solid = participates in the contact solver (characters are ghosts:
+    # they depenetrate themselves and exert no impulses)
+    solid = alive & has_collider & ~is_char
+
     g_point, g_normal, g_depth, g_gvalid = nf.ground_contacts(
         pos, quat, static.shape_type, static.shape_size
     )
-
-    # pair validity: upper triangle, both alive+collidable, layer filter both
-    # ways, at least one dynamic, neither is a character (characters are
-    # ghosts: they don't receive solver impulses and exert none)
-    idx = jnp.arange(n)
-    upper = idx[:, None] < idx[None, :]
-    is_char = (state.comp_mask & COMP_CHARACTER) != 0
-    solid = alive & has_collider & ~is_char
-    layer_ok = ((static.layer[:, None] & static.mask[None, :]) != 0) & (
-        (static.layer[None, :] & static.mask[:, None]) != 0
-    )
-    any_dyn = is_dynamic[:, None] | is_dynamic[None, :]
-    pair_ok = upper & solid[:, None] & solid[None, :] & layer_ok & any_dyn
-    p_valid = p_gvalid & (p_depth > 0.0) & pair_ok[:, :, None]
-
     g_valid = (
         g_gvalid
         & (g_depth > 0.0)
@@ -137,14 +128,64 @@ def physics_step(
     )
 
     inv_i_w = sv.inv_inertia_world(quat, static.inv_inertia_body)
-    vel, ang = sv.solve_contacts(
-        vel, ang, pos, static.inv_mass, inv_i_w,
-        static.friction, static.restitution,
-        p_point, p_normal, p_depth, p_valid,
-        g_point, g_normal, g_depth, g_valid,
-        jnp.float32(GROUND_FRICTION), dt,
-        iterations=solver_iterations,
-    )
+
+    if broadphase == "dense":
+        # all-pairs narrowphase; accumulation by [N,N] axis reductions
+        p_point, p_normal, p_depth, p_gvalid = nf.pair_contacts_dense(
+            pos, quat, static.shape_type, static.shape_size
+        )
+        idx = jnp.arange(n)
+        upper = idx[:, None] < idx[None, :]
+        layer_ok = ((static.layer[:, None] & static.mask[None, :]) != 0) & (
+            (static.layer[None, :] & static.mask[:, None]) != 0
+        )
+        any_dyn = is_dynamic[:, None] | is_dynamic[None, :]
+        pair_ok = upper & solid[:, None] & solid[None, :] & layer_ok & any_dyn
+        p_valid = p_gvalid & (p_depth > 0.0) & pair_ok[:, :, None]
+
+        vel, ang = sv.solve_contacts(
+            vel, ang, pos, static.inv_mass, inv_i_w,
+            static.friction, static.restitution,
+            p_point, p_normal, p_depth, p_valid,
+            g_point, g_normal, g_depth, g_valid,
+            jnp.float32(GROUND_FRICTION), dt,
+            iterations=solver_iterations,
+        )
+    elif broadphase == "grid":
+        # spatial hash + fixed-capacity neighbor lists (10k-body stress)
+        from banggameengine_tpu.physics.broadphase import build_neighbor_lists
+
+        nl = build_neighbor_lists(
+            pos, quat, static.shape_type, static.shape_size,
+            active=solid, cell_size=grid_cell_size,
+            table_size=grid_table_size, cell_capacity=grid_cell_capacity,
+            max_neighbors=max_neighbors,
+        )
+        safe_j = jnp.maximum(nl.idx, 0)
+        p_point, p_normal, p_depth, p_gvalid = nf.pair_contacts(
+            pos[:, None], quat[:, None],
+            static.shape_type[:, None], static.shape_size[:, None],
+            pos[safe_j], quat[safe_j],
+            static.shape_type[safe_j], static.shape_size[safe_j],
+        )
+        layer_ok = ((static.layer[:, None] & static.mask[safe_j]) != 0) & (
+            (static.layer[safe_j] & static.mask[:, None]) != 0
+        )
+        any_dyn = is_dynamic[:, None] | is_dynamic[safe_j]
+        pair_ok = nl.valid & layer_ok & any_dyn & solid[:, None]
+        p_valid = p_gvalid & (p_depth > 0.0) & pair_ok[:, :, None]
+
+        vel, ang = sv.solve_contacts_nbr(
+            vel, ang, pos, static.inv_mass, inv_i_w,
+            static.friction, static.restitution,
+            nl.idx,
+            p_point, p_normal, p_depth, p_valid,
+            g_point, g_normal, g_depth, g_valid,
+            jnp.float32(GROUND_FRICTION), dt,
+            iterations=solver_iterations,
+        )
+    else:
+        raise ValueError(f"unknown broadphase '{broadphase}'")
 
     # semi-implicit Euler integrate dynamics
     pos = jnp.where(is_dynamic[:, None], pos + vel * dt, pos)

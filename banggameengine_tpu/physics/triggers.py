@@ -33,21 +33,30 @@ def trigger_overlaps(
     collision shape (box SAT / capsule distance via the narrowphase helpers).
     The trigger's own entity is excluded.
     """
-    t = trig_entity.shape[0]
     n = pos.shape[0]
     safe_te = jnp.where(trig_entity >= 0, trig_entity, 0)
     tpos = pos[safe_te]           # [T,3]
     tquat = quat[safe_te]
+    ttype = trig_shape.astype(shape_type.dtype)
 
-    # Build a combined (T + N)-entity pose table and reuse the dense pair
-    # overlap helper on the [T, N] block.
-    all_pos = jnp.concatenate([tpos, pos], axis=0)
-    all_quat = jnp.concatenate([tquat, quat], axis=0)
-    all_type = jnp.concatenate([trig_shape.astype(shape_type.dtype), shape_type], axis=0)
-    all_size = jnp.concatenate([trig_size, size], axis=0)
+    # [T, N] pair block only (never the full (T+N)^2 matrix — T is tiny,
+    # N can be 10k+)
+    _, _, depth, gvalid = nf.pair_contacts(
+        tpos[:, None], tquat[:, None], ttype[:, None], trig_size[:, None],
+        pos[None, :], quat[None, :], shape_type[None, :], size[None, :],
+    )
+    pen = jnp.any(gvalid & (depth > 0.0), axis=-1)
 
-    full = nf.boolean_overlap_matrix(all_pos, all_quat, all_type, all_size)
-    overlap = full[:t, t:]        # [T, N]
+    # exact SAT for box-box (corner manifolds can miss edge-edge overlap)
+    from banggameengine_tpu import math3d
+    from banggameengine_tpu.state import SHAPE_BOX
+
+    _, _, sat_overlap = nf.box_box_sat_mtv(
+        tpos[:, None], math3d.quat_to_mat3(tquat)[:, None], trig_size[:, None],
+        pos[None, :], math3d.quat_to_mat3(quat)[None, :], size[None, :],
+    )
+    bb = (ttype == SHAPE_BOX)[:, None] & (shape_type == SHAPE_BOX)[None, :]
+    overlap = jnp.where(bb, sat_overlap, pen)   # [T, N]
 
     layer_ok = ((trig_layer[:, None] & mask[None, :]) != 0) & (
         (layer[None, :] & trig_mask[:, None]) != 0

@@ -141,11 +141,20 @@ class ResourceManager:
             log.warning("[MESH] '%s' not found", obj_path)
             return None
         mtl_resolved = self.resolve_path(mtl_path) if mtl_path else None
-        try:
-            mesh = obj_loader.load_obj(resolved, mtl_resolved)
-        except Exception as e:
-            log.warning("[MESH] failed to load '%s': %s", obj_path, e)
-            return None
+        mesh = None
+        if not os.environ.get("BANG_DISABLE_NATIVE"):
+            try:
+                from banggameengine_tpu.native import load_obj_native
+
+                mesh = load_obj_native(resolved, mtl_resolved)
+            except Exception as e:
+                log.debug("[MESH] native loader unavailable: %s", e)
+        if mesh is None:
+            try:
+                mesh = obj_loader.load_obj(resolved, mtl_resolved)
+            except Exception as e:
+                log.warning("[MESH] failed to load '%s': %s", obj_path, e)
+                return None
         self._meshes[key] = mesh
         self.mesh_stats.approx_bytes += mesh.approx_bytes()
         return mesh

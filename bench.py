@@ -120,7 +120,9 @@ def bench_demo(steps_per_dispatch=100):
     }
 
 
-def bench_stress(num_bodies=512, steps_per_dispatch=20):
+def bench_stress(num_bodies=10000, steps_per_dispatch=20):
+    """Driver config #2: 10k falling rigid bodies, grid broadphase +
+    neighbor-list contact resolution, no rendering."""
     import jax
 
     from banggameengine_tpu.engine import make_multi_step_fn
@@ -128,7 +130,10 @@ def bench_stress(num_bodies=512, steps_per_dispatch=20):
     from banggameengine_tpu.state import InputFrame
 
     state, static = build_falling_boxes(num_bodies)
-    run = make_multi_step_fn(static, steps_per_dispatch)
+    run = make_multi_step_fn(
+        static, steps_per_dispatch, broadphase="grid",
+        grid_cell_size=2.5, grid_table_size=16384, max_neighbors=16,
+    )
     inp = InputFrame.zero()
     times = []
     for i in range(6):
