@@ -42,6 +42,7 @@ from banggameengine_tpu.state import (
 
 GROUND_FRICTION = 0.5  # implicit plane uses Bullet's default friction
 SOLVER_ITERATIONS = 10
+CONTACT_BUDGET = 16    # max solved contacts per body after compaction
 
 
 def physics_step(
@@ -117,40 +118,25 @@ def physics_step(
     # they depenetrate themselves and exert no impulses)
     solid = alive & has_collider & ~is_char
 
-    g_point, g_normal, g_depth, g_gvalid = nf.ground_contacts(
-        pos, quat, static.shape_type, static.shape_size
-    )
-    g_valid = (
-        g_gvalid
-        & (g_depth > 0.0)
-        & (is_dynamic & solid)[:, None]
-        & jnp.asarray(static.ground_enabled)
-    )
-
-    inv_i_w = sv.inv_inertia_world(quat, static.inv_inertia_body)
-
+    # ---- candidate contacts (pair narrowphase + implicit ground) --------
     if broadphase == "dense":
-        # all-pairs narrowphase; accumulation by [N,N] axis reductions
+        # all-pairs narrowphase [N,N,K]; both orderings present so every
+        # pair is mirrored into both bodies' rows (row-sum solver)
         p_point, p_normal, p_depth, p_gvalid = nf.pair_contacts_dense(
             pos, quat, static.shape_type, static.shape_size
         )
-        idx = jnp.arange(n)
-        upper = idx[:, None] < idx[None, :]
+        b_ids = jnp.broadcast_to(
+            jnp.arange(n, dtype=jnp.int32)[None, :, None],
+            (n, n, nf.K_PAIR),
+        )
+        not_self = (jnp.arange(n)[:, None] != jnp.arange(n)[None, :])[..., None]
         layer_ok = ((static.layer[:, None] & static.mask[None, :]) != 0) & (
             (static.layer[None, :] & static.mask[:, None]) != 0
         )
         any_dyn = is_dynamic[:, None] | is_dynamic[None, :]
-        pair_ok = upper & solid[:, None] & solid[None, :] & layer_ok & any_dyn
-        p_valid = p_gvalid & (p_depth > 0.0) & pair_ok[:, :, None]
-
-        vel, ang = sv.solve_contacts(
-            vel, ang, pos, static.inv_mass, inv_i_w,
-            static.friction, static.restitution,
-            p_point, p_normal, p_depth, p_valid,
-            g_point, g_normal, g_depth, g_valid,
-            jnp.float32(GROUND_FRICTION), dt,
-            iterations=solver_iterations,
-        )
+        pair_ok = solid[:, None] & solid[None, :] & layer_ok & any_dyn
+        p_valid = p_gvalid & (p_depth > 0.0) & pair_ok[..., None] & not_self
+        partner = jnp.broadcast_to(jnp.arange(n)[None, :, None], (n, n, nf.K_PAIR))
     elif broadphase == "grid":
         # spatial hash + fixed-capacity neighbor lists (10k-body stress)
         from banggameengine_tpu.physics.broadphase import build_neighbor_lists
@@ -173,19 +159,55 @@ def physics_step(
         )
         any_dyn = is_dynamic[:, None] | is_dynamic[safe_j]
         pair_ok = nl.valid & layer_ok & any_dyn & solid[:, None]
-        p_valid = p_gvalid & (p_depth > 0.0) & pair_ok[:, :, None]
-
-        vel, ang = sv.solve_contacts_nbr(
-            vel, ang, pos, static.inv_mass, inv_i_w,
-            static.friction, static.restitution,
-            nl.idx,
-            p_point, p_normal, p_depth, p_valid,
-            g_point, g_normal, g_depth, g_valid,
-            jnp.float32(GROUND_FRICTION), dt,
-            iterations=solver_iterations,
+        p_valid = p_gvalid & (p_depth > 0.0) & pair_ok[..., None]
+        partner = jnp.broadcast_to(
+            nl.idx[:, :, None], p_depth.shape
         )
     else:
         raise ValueError(f"unknown broadphase '{broadphase}'")
+
+    g_point, g_normal, g_depth, g_gvalid = nf.ground_contacts(
+        pos, quat, static.shape_type, static.shape_size
+    )
+    g_valid = (
+        g_gvalid
+        & (g_depth > 0.0)
+        & (is_dynamic & solid)[:, None]
+        & jnp.asarray(static.ground_enabled)
+    )
+
+    # ---- flatten + fold ground (partner -1) + compact to per-body budget
+    m_pair = p_depth.shape[1] * p_depth.shape[2]
+    all_b = jnp.concatenate(
+        [partner.reshape(n, m_pair),
+         jnp.full((n, nf.K_GROUND), -1, jnp.int32)], axis=1,
+    )
+    all_pt = jnp.concatenate([p_point.reshape(n, m_pair, 3), g_point], axis=1)
+    all_n = jnp.concatenate([p_normal.reshape(n, m_pair, 3), g_normal], axis=1)
+    all_d = jnp.concatenate([p_depth.reshape(n, m_pair), g_depth], axis=1)
+    all_v = jnp.concatenate([p_valid.reshape(n, m_pair), g_valid], axis=1)
+
+    c_b, c_pt, c_n, c_d, c_valid, _overflow = sv.compact_contacts(
+        all_b, all_pt, all_n, all_d, all_v, CONTACT_BUDGET
+    )
+    safe_b = jnp.maximum(c_b, 0)
+    static_side = c_b < 0
+    c_mu = jnp.where(
+        static_side,
+        static.friction[:, None] * GROUND_FRICTION,
+        static.friction[:, None] * static.friction[safe_b],
+    )
+    c_e = jnp.where(
+        static_side, 0.0,
+        static.restitution[:, None] * static.restitution[safe_b],
+    )
+
+    inv_i_w = sv.inv_inertia_world(quat, static.inv_inertia_body)
+    vel, ang = sv.solve_contacts_unified(
+        vel, ang, pos, static.inv_mass, inv_i_w,
+        c_b, c_pt, c_n, c_d, c_valid, c_mu, c_e, dt,
+        iterations=solver_iterations,
+    )
 
     # semi-implicit Euler integrate dynamics
     pos = jnp.where(is_dynamic[:, None], pos + vel * dt, pos)
