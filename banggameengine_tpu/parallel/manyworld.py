@@ -73,6 +73,7 @@ def make_sharded_many_world_step(
     num_steps: int = 1,
     solver_iterations: int = 10,
     with_metrics: bool = False,
+    **physics_kwargs,
 ):
     """Build the jitted sharded lockstep-many-worlds step.
 
@@ -85,7 +86,8 @@ def make_sharded_many_world_step(
     mesh = mesh or make_world_mesh()
 
     vstep = jax.vmap(
-        lambda s, i: engine_step(s, i, static, solver_iterations)[0]
+        lambda s, i: engine_step(s, i, static, solver_iterations,
+                                 **physics_kwargs)[0]
     )
 
     def run(bstate, binp):
@@ -95,7 +97,8 @@ def make_sharded_many_world_step(
             def body(carry, _):
                 return vstep(carry, binp), None
 
-            out, _ = jax.lax.scan(body, bstate, None, length=num_steps)
+            out, _ = jax.lax.scan(body, bstate, None, length=num_steps,
+                                  unroll=2)
         if with_metrics:
             m = world_metrics(out)
             metrics = {k: jnp.mean(v) for k, v in m.items()}  # ICI reduce

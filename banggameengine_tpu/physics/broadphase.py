@@ -51,6 +51,41 @@ def _hash_coords(c: Array, table_size: int) -> Array:
     return jnp.mod(h, table_size)
 
 
+def build_neighbor_lists_dense(
+    pos: Array,
+    quat: Array,
+    shape_type: Array,
+    size: Array,
+    pair_mask: Array,      # bool[N,N] extra validity (layers, dynamics, ...)
+    max_neighbors: int = 8,
+    aabb_margin: float = 0.04,
+) -> NeighborLists:
+    """All-pairs AABB broadphase compacted to fixed neighbor lists.
+
+    For small worlds: the [N,N] boolean AABB matrix is cheap, and pruning
+    partners *before* narrowphase keeps the expensive manifold math (and its
+    [..., 3]-shaped temporaries) on ~K instead of N partners per body.
+    """
+    n = pos.shape[0]
+    mn, mx = sh.shape_aabb(pos, quat, shape_type, size)
+    ov = sh.aabb_overlap(mn[:, None], mx[:, None], mn[None, :], mx[None, :],
+                         margin=aabb_margin)
+    ov &= pair_mask
+    ov &= ~jnp.eye(n, dtype=bool)
+
+    # sort-free stable compaction (cumsum destinations + one-hot matmul)
+    from banggameengine_tpu.physics.solver import compaction_matrix
+
+    sel, valid, counts = compaction_matrix(ov, max_neighbors)
+    ids_f = jnp.einsum(
+        "nmc,m->nc", sel, jnp.arange(n, dtype=jnp.float32)
+    )
+    idx = jnp.where(valid, ids_f.astype(jnp.int32), -1)
+    overflow = jnp.sum(jnp.maximum(counts - max_neighbors, 0)).astype(jnp.int32)
+    return NeighborLists(idx=idx, valid=valid,
+                         cell_overflow=jnp.int32(0), nbr_overflow=overflow)
+
+
 def build_neighbor_lists(
     pos: Array,            # f32[N,3]
     quat: Array,

@@ -307,6 +307,63 @@ def ground_contacts(pos, quat, shape_type, size):
     return pts, normal, depth, slot_valid
 
 
+def boolean_overlap_pairs(
+    pos_a, quat_a, type_a, size_a,
+    pos_b, quat_b, type_b, size_b,
+):
+    """Lean boolean shape-overlap for batched pairs (no manifolds).
+
+    box-box: 15-axis SAT; box-capsule: 3 sampled spheres vs box;
+    capsule-capsule: segment distance.  Used by triggers every step, so it
+    skips all contact-point math.
+    """
+    b_shape = jnp.broadcast_shapes(
+        pos_a.shape[:-1], pos_b.shape[:-1], type_a.shape, type_b.shape
+    )
+    pos_a = jnp.broadcast_to(pos_a, b_shape + (3,))
+    pos_b = jnp.broadcast_to(pos_b, b_shape + (3,))
+    quat_a = jnp.broadcast_to(quat_a, b_shape + (4,))
+    quat_b = jnp.broadcast_to(quat_b, b_shape + (4,))
+    size_a = jnp.broadcast_to(size_a, b_shape + (3,))
+    size_b = jnp.broadcast_to(size_b, b_shape + (3,))
+    type_a = jnp.broadcast_to(type_a, b_shape)
+    type_b = jnp.broadcast_to(type_b, b_shape)
+
+    a_box = type_a == SHAPE_BOX
+    b_box = type_b == SHAPE_BOX
+    a_cap = type_a == SHAPE_CAPSULE
+    b_cap = type_b == SHAPE_CAPSULE
+
+    rot_a = math3d.quat_to_mat3(quat_a)
+    rot_b = math3d.quat_to_mat3(quat_b)
+    _, _, sat = box_box_sat_mtv(pos_a, rot_a, size_a, pos_b, rot_b, size_b)
+
+    seg_a0, seg_a1 = sh.capsule_segment(pos_a, quat_a, size_a[..., 1])
+    seg_b0, seg_b1 = sh.capsule_segment(pos_b, quat_b, size_b[..., 1])
+    samp_a = seg_a0[..., None, :] + (seg_a1 - seg_a0)[..., None, :] * _CAP_TS[:, None]
+    samp_b = seg_b0[..., None, :] + (seg_b1 - seg_b0)[..., None, :] * _CAP_TS[:, None]
+    d_cb, _, _ = _sphere_box_contact(
+        samp_a, size_a[..., 0:1],
+        pos_b[..., None, :], quat_b[..., None, :], size_b[..., None, :],
+    )
+    d_bc, _, _ = _sphere_box_contact(
+        samp_b, size_b[..., 0:1],
+        pos_a[..., None, :], quat_a[..., None, :], size_a[..., None, :],
+    )
+    mixed = jnp.where(
+        a_cap & b_box, jnp.any(d_cb > 0, -1), jnp.any(d_bc > 0, -1)
+    )
+
+    c1, c2 = sh.closest_segment_segment(seg_a0, seg_a1, seg_b0, seg_b1)
+    cc = jnp.linalg.norm(c1 - c2, axis=-1) < size_a[..., 0] + size_b[..., 0]
+
+    return jnp.where(
+        a_box & b_box, sat,
+        jnp.where(a_cap & b_cap, cc,
+                  ((a_cap & b_box) | (a_box & b_cap)) & mixed),
+    )
+
+
 def boolean_overlap_matrix(pos, quat, shape_type, size, margin: float = 0.0):
     """Exact-ish boolean shape overlap [N, N] used by triggers.
 

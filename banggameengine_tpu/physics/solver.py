@@ -63,6 +63,26 @@ def inv_inertia_world(quat: Array, inv_inertia_body: Array) -> Array:
     return jnp.einsum("...ij,...j,...kj->...ik", r, inv_inertia_body, r)
 
 
+def compaction_matrix(valid: Array, budget: int) -> tuple[Array, Array, Array]:
+    """Stable compaction as a one-hot matrix (sort-free, MXU-friendly).
+
+    valid bool[..., M] -> (sel f32[..., M, budget] with sel[m, c] = 1 iff
+    valid slot m lands in output slot c, new_valid bool[..., budget],
+    counts i32[...]).  ``out = einsum('...mc,...m->...c', sel, x)`` then
+    gathers/compacts any per-slot array; exact because columns are one-hot.
+    """
+    counts_incl = jnp.cumsum(valid.astype(jnp.int32), axis=-1)
+    target = counts_incl - 1                         # destination slot
+    in_budget = valid & (target < budget)
+    sel = (
+        jax.nn.one_hot(jnp.where(in_budget, target, budget), budget,
+                       dtype=jnp.float32)
+    )                                                # [..., M, budget]
+    counts = counts_incl[..., -1]
+    new_valid = jnp.arange(budget) < jnp.minimum(counts, budget)[..., None]
+    return sel, new_valid, counts
+
+
 def compact_contacts(
     b_idx: Array,    # i32[N, M] partner per slot (-1 = static world)
     point: Array,    # f32[N, M, 3]
@@ -73,20 +93,25 @@ def compact_contacts(
 ):
     """Compress candidate slots to ``[N, budget]`` per-body contact lists.
 
-    Stable argsort keeps deterministic ordering; overflow (more real
-    contacts than budget) is returned as a count for diagnostics.
+    Sort-free: destinations come from a running count (stable order) and the
+    move is a one-hot contraction on the MXU — cheaper on TPU than the
+    argsort-based compaction it replaces.  Overflow (more real contacts than
+    budget) is returned for diagnostics.
     """
-    order = jnp.argsort(~valid, axis=-1, stable=True)[..., :budget]
-    take = lambda a: jnp.take_along_axis(a, order, axis=-1)
-    take3 = lambda a: jnp.take_along_axis(a, order[..., None], axis=-2)
-    counts = jnp.sum(valid, axis=-1)
-    slot = jnp.arange(budget)
-    new_valid = slot < counts[..., None]
+    sel, new_valid, counts = compaction_matrix(valid, budget)
+
+    def move(a):
+        return jnp.einsum("...mc,...m->...c", sel, a.astype(jnp.float32))
+
+    def move3(a):
+        return jnp.einsum("...mc,...mk->...ck", sel, a)
+
+    c_b = jnp.where(new_valid, move(b_idx.astype(jnp.float32)).astype(jnp.int32), -1)
     out = (
-        jnp.where(new_valid, take(b_idx), -1),
-        take3(point),
-        take3(normal),
-        take(depth),
+        c_b,
+        move3(point),
+        move3(normal),
+        move(depth),
         new_valid,
     )
     overflow = jnp.sum(jnp.maximum(counts - budget, 0))

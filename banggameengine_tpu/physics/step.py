@@ -42,7 +42,7 @@ from banggameengine_tpu.state import (
 
 GROUND_FRICTION = 0.5  # implicit plane uses Bullet's default friction
 SOLVER_ITERATIONS = 10
-CONTACT_BUDGET = 16    # max solved contacts per body after compaction
+CONTACT_BUDGET = 12    # max solved contacts per body after compaction
 
 
 def physics_step(
@@ -118,25 +118,26 @@ def physics_step(
     # they depenetrate themselves and exert no impulses)
     solid = alive & has_collider & ~is_char
 
-    # ---- candidate contacts (pair narrowphase + implicit ground) --------
+    # ---- broadphase -> fixed-capacity neighbor lists --------------------
+    # (both paths prune pairs BEFORE the expensive manifold math; every
+    # surviving pair appears mirrored in both bodies' rows for the
+    # row-reduction solver)
     if broadphase == "dense":
-        # all-pairs narrowphase [N,N,K]; both orderings present so every
-        # pair is mirrored into both bodies' rows (row-sum solver)
-        p_point, p_normal, p_depth, p_gvalid = nf.pair_contacts_dense(
-            pos, quat, static.shape_type, static.shape_size
+        from banggameengine_tpu.physics.broadphase import (
+            build_neighbor_lists_dense,
         )
-        b_ids = jnp.broadcast_to(
-            jnp.arange(n, dtype=jnp.int32)[None, :, None],
-            (n, n, nf.K_PAIR),
-        )
-        not_self = (jnp.arange(n)[:, None] != jnp.arange(n)[None, :])[..., None]
+
         layer_ok = ((static.layer[:, None] & static.mask[None, :]) != 0) & (
             (static.layer[None, :] & static.mask[:, None]) != 0
         )
         any_dyn = is_dynamic[:, None] | is_dynamic[None, :]
-        pair_ok = solid[:, None] & solid[None, :] & layer_ok & any_dyn
-        p_valid = p_gvalid & (p_depth > 0.0) & pair_ok[..., None] & not_self
-        partner = jnp.broadcast_to(jnp.arange(n)[None, :, None], (n, n, nf.K_PAIR))
+        pair_mask = solid[:, None] & solid[None, :] & layer_ok & any_dyn
+        nl = build_neighbor_lists_dense(
+            pos, quat, static.shape_type, static.shape_size,
+            pair_mask, max_neighbors=min(max_neighbors, 8),
+        )
+        safe_j = jnp.maximum(nl.idx, 0)
+        pair_ok = nl.valid
     elif broadphase == "grid":
         # spatial hash + fixed-capacity neighbor lists (10k-body stress)
         from banggameengine_tpu.physics.broadphase import build_neighbor_lists
@@ -148,23 +149,23 @@ def physics_step(
             max_neighbors=max_neighbors,
         )
         safe_j = jnp.maximum(nl.idx, 0)
-        p_point, p_normal, p_depth, p_gvalid = nf.pair_contacts(
-            pos[:, None], quat[:, None],
-            static.shape_type[:, None], static.shape_size[:, None],
-            pos[safe_j], quat[safe_j],
-            static.shape_type[safe_j], static.shape_size[safe_j],
-        )
         layer_ok = ((static.layer[:, None] & static.mask[safe_j]) != 0) & (
             (static.layer[safe_j] & static.mask[:, None]) != 0
         )
         any_dyn = is_dynamic[:, None] | is_dynamic[safe_j]
         pair_ok = nl.valid & layer_ok & any_dyn & solid[:, None]
-        p_valid = p_gvalid & (p_depth > 0.0) & pair_ok[..., None]
-        partner = jnp.broadcast_to(
-            nl.idx[:, :, None], p_depth.shape
-        )
     else:
         raise ValueError(f"unknown broadphase '{broadphase}'")
+
+    # ---- narrowphase on surviving pairs only ----------------------------
+    p_point, p_normal, p_depth, p_gvalid = nf.pair_contacts(
+        pos[:, None], quat[:, None],
+        static.shape_type[:, None], static.shape_size[:, None],
+        pos[safe_j], quat[safe_j],
+        static.shape_type[safe_j], static.shape_size[safe_j],
+    )
+    p_valid = p_gvalid & (p_depth > 0.0) & pair_ok[..., None]
+    partner = jnp.broadcast_to(nl.idx[:, :, None], p_depth.shape)
 
     g_point, g_normal, g_depth, g_gvalid = nf.ground_contacts(
         pos, quat, static.shape_type, static.shape_size

@@ -39,24 +39,11 @@ def trigger_overlaps(
     tquat = quat[safe_te]
     ttype = trig_shape.astype(shape_type.dtype)
 
-    # [T, N] pair block only (never the full (T+N)^2 matrix — T is tiny,
-    # N can be 10k+)
-    _, _, depth, gvalid = nf.pair_contacts(
+    # [T, N] boolean block only (never the (T+N)^2 matrix; no manifolds)
+    overlap = nf.boolean_overlap_pairs(
         tpos[:, None], tquat[:, None], ttype[:, None], trig_size[:, None],
         pos[None, :], quat[None, :], shape_type[None, :], size[None, :],
     )
-    pen = jnp.any(gvalid & (depth > 0.0), axis=-1)
-
-    # exact SAT for box-box (corner manifolds can miss edge-edge overlap)
-    from banggameengine_tpu import math3d
-    from banggameengine_tpu.state import SHAPE_BOX
-
-    _, _, sat_overlap = nf.box_box_sat_mtv(
-        tpos[:, None], math3d.quat_to_mat3(tquat)[:, None], trig_size[:, None],
-        pos[None, :], math3d.quat_to_mat3(quat)[None, :], size[None, :],
-    )
-    bb = (ttype == SHAPE_BOX)[:, None] & (shape_type == SHAPE_BOX)[None, :]
-    overlap = jnp.where(bb, sat_overlap, pen)   # [T, N]
 
     layer_ok = ((trig_layer[:, None] & mask[None, :]) != 0) & (
         (layer[None, :] & trig_mask[:, None]) != 0
