@@ -86,6 +86,12 @@ class Application:
         self.bus.subscribe(TriggerEvent, self._on_trigger_event)
         self.reload_scene("initial")
 
+        # publish the global facade (Physics::SetActiveSystem,
+        # PhysicsAPI.cpp:8-16)
+        from banggameengine_tpu.physics import api as physics_api
+
+        physics_api.set_active_system(self)
+
     # ------------------------------------------------------------------
     # scene / config management
     # ------------------------------------------------------------------
@@ -147,6 +153,7 @@ class Application:
         self.orbit.reload_config_if_needed()
         self.reload_physics_config_if_needed()
         self._handle_hotkeys()
+        self._handle_light_keys(dt)
 
         fixed = self.config.fixed_step
         self._accumulator += dt
@@ -189,6 +196,47 @@ class Application:
             (self.state.comp_mask & (COMP_COLLIDER | COMP_CHARACTER)) != 0,
         )
         self.last_ray_hit = hit
+
+    def _handle_light_keys(self, dt: float) -> None:
+        """Continuous light controls (Application.cpp:218-245): arrows
+        rotate the light, Z/X ambient, C/V spec intensity, B/N shininess,
+        R resets to defaults."""
+        import dataclasses
+        import math
+
+        keys = {k.upper() for k in self.input.source.keys_down()}
+        rot = math.radians(90.0) * dt
+        lp = self.light
+        upd = {}
+        if "LEFT" in keys:
+            upd["yaw"] = lp.yaw - rot
+        if "RIGHT" in keys:
+            upd["yaw"] = lp.yaw + rot
+        if "UP" in keys:
+            upd["pitch"] = lp.pitch - rot * 0.5
+        if "DOWN" in keys:
+            upd["pitch"] = lp.pitch + rot * 0.5
+        if "Z" in keys:
+            upd["ambient"] = jnp.clip(lp.ambient - 0.8 * dt, 0.0, 1.0)
+        if "X" in keys:
+            upd["ambient"] = jnp.clip(lp.ambient + 0.8 * dt, 0.0, 1.0)
+        if "C" in keys:
+            upd["spec_intensity"] = jnp.clip(lp.spec_intensity - 1.2 * dt, 0.0, 4.0)
+        if "V" in keys:
+            upd["spec_intensity"] = jnp.clip(lp.spec_intensity + 1.2 * dt, 0.0, 4.0)
+        if "B" in keys:
+            upd["shininess"] = jnp.clip(lp.shininess - 128.0 * dt, 1.0, 1024.0)
+        if "N" in keys:
+            upd["shininess"] = jnp.clip(lp.shininess + 128.0 * dt, 1.0, 1024.0)
+        if "R" in keys and not getattr(self, "_light_r_latch", False):
+            self.light = LightParams.default()
+            self._light_r_latch = True
+            return
+        self._light_r_latch = "R" in keys
+        if upd:
+            self.light = dataclasses.replace(lp, **{
+                k: jnp.float32(v) for k, v in upd.items()
+            })
 
     def _handle_hotkeys(self) -> None:
         src_keys = {k.upper() for k in self.input.source.keys_down()}
@@ -267,14 +315,18 @@ class Application:
         ``Application.cpp:359-360``); ``hud=True`` adds the debug-text HUD.
         """
         if self._render is None:
-            self._render = make_render_fn(
+            self._render = {}
+        key = bool(self.wireframe)
+        if key not in self._render:
+            self._render[key] = make_render_fn(
                 self.built.render, self.width, self.height,
-                bin_capacity=2048, return_depth=True,
+                bin_capacity=2048, return_depth=True, wireframe=key,
             )
         view = self.camera.view_matrix()
         proj = self.camera.proj_matrix(self.width / self.height)
-        frame, depth = self._render(
-            self.state.world, view, proj, jnp.asarray(self.camera.position)
+        frame, depth = self._render[key](
+            self.state.world, view, proj, jnp.asarray(self.camera.position),
+            self.light,
         )
         if self.physics_overlay:
             from banggameengine_tpu.physics.debugdraw import collision_shape_lines

@@ -1,0 +1,177 @@
+"""Window / display abstraction: host-side thin client.
+
+Re-design of ``src/window/Window.{h,cpp}`` (GLFW window without GL context,
+mouse-delta accumulation gated by cursor lock, scroll accumulation,
+framebuffer resize) as a pluggable host surface over the device-resident
+framebuffer (SURVEY.md §2: "window/input stay host-side thin clients over
+device-resident world state"):
+
+- :class:`HeadlessWindow` — primary mode: frames are numpy arrays; "present"
+  optionally records to PNG sequence / invokes a callback;
+- :class:`GlfwWindow` — used when a ``glfw`` module is importable (desktop
+  deployments); exposes the reference's surface: poll_events, mouse delta
+  (zeroed when the cursor is unlocked, ``Window.cpp:72-76``), scroll,
+  cursor lock, should_close.
+
+Both implement :class:`banggameengine_tpu.app.input.InputSource`, so the
+InputSystem consumes them directly.
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+
+import numpy as np
+
+from banggameengine_tpu.app.input import InputSource
+
+log = logging.getLogger("Window")
+
+
+class BaseWindow(InputSource):
+    width: int
+    height: int
+
+    def poll_events(self) -> None: ...
+
+    def present(self, frame: np.ndarray) -> None: ...
+
+    def should_close(self) -> bool:
+        return False
+
+    def set_cursor_locked(self, locked: bool) -> None: ...
+
+    def set_title(self, title: str) -> None: ...
+
+
+class HeadlessWindow(BaseWindow):
+    """No display: frames go to an optional sink (callback or PNG dir)."""
+
+    def __init__(self, width: int = 1280, height: int = 720,
+                 frame_sink=None, record_dir: str | None = None):
+        self.width = width
+        self.height = height
+        self.title = ""
+        self._sink = frame_sink
+        self._record_dir = record_dir
+        self._frame_no = 0
+        self._cursor_locked = False
+        if record_dir:
+            os.makedirs(record_dir, exist_ok=True)
+
+    def poll_events(self) -> None:
+        pass
+
+    def present(self, frame: np.ndarray) -> None:
+        if self._sink is not None:
+            self._sink(frame)
+        if self._record_dir is not None:
+            from PIL import Image
+
+            path = os.path.join(self._record_dir, f"frame_{self._frame_no:05d}.png")
+            Image.fromarray(frame).save(path)
+        self._frame_no += 1
+
+    def set_cursor_locked(self, locked: bool) -> None:
+        self._cursor_locked = locked
+
+    def set_title(self, title: str) -> None:
+        self.title = title
+
+
+class GlfwWindow(BaseWindow):
+    """Interactive window via glfw (only when the module is available).
+
+    Mirrors the reference's behavior: client-api NONE window, per-poll mouse
+    deltas zeroed while the cursor is unlocked, scroll accumulation.
+    """
+
+    def __init__(self, width: int = 1280, height: int = 720,
+                 title: str = "BangGameEngine-TPU"):
+        import glfw  # noqa: F401 (raises ImportError when unavailable)
+
+        self._glfw = glfw
+        if not glfw.init():
+            raise RuntimeError("glfw init failed")
+        glfw.window_hint(glfw.CLIENT_API, glfw.NO_API)
+        self._win = glfw.create_window(width, height, title, None, None)
+        self.width = width
+        self.height = height
+        self._last_mouse = (0.0, 0.0)
+        self._mouse_delta = (0.0, 0.0)
+        self._scroll = [0.0, 0.0]
+        self._cursor_locked = False
+
+        def on_scroll(_w, sx, sy):
+            self._scroll[0] += sx
+            self._scroll[1] += sy
+
+        glfw.set_scroll_callback(self._win, on_scroll)
+
+    def poll_events(self) -> None:
+        g = self._glfw
+        g.poll_events()
+        x, y = g.get_cursor_pos(self._win)
+        dx, dy = x - self._last_mouse[0], y - self._last_mouse[1]
+        self._last_mouse = (x, y)
+        # deltas only while locked (Window.cpp:72-76)
+        self._mouse_delta = (dx, dy) if self._cursor_locked else (0.0, 0.0)
+
+    def present(self, frame: np.ndarray) -> None:
+        # no GL context (parity with the reference's external-renderer
+        # model); desktop presentation would blit via a platform surface.
+        pass
+
+    def should_close(self) -> bool:
+        return bool(self._glfw.window_should_close(self._win))
+
+    def set_cursor_locked(self, locked: bool) -> None:
+        g = self._glfw
+        mode = g.CURSOR_DISABLED if locked else g.CURSOR_NORMAL
+        g.set_input_mode(self._win, g.CURSOR, mode)
+        self._cursor_locked = locked
+
+    def set_title(self, title: str) -> None:
+        self._glfw.set_window_title(self._win, title)
+
+    # InputSource -----------------------------------------------------------
+    def keys_down(self):
+        g = self._glfw
+        keys = set()
+        for name in dir(g):
+            if name.startswith("KEY_"):
+                code = getattr(g, name)
+                if isinstance(code, int) and g.get_key(self._win, code) == g.PRESS:
+                    keys.add(name[4:])
+        return keys
+
+    def mouse_buttons_down(self):
+        g = self._glfw
+        out = set()
+        for name, code in (
+            ("MOUSE_LEFT", g.MOUSE_BUTTON_LEFT),
+            ("MOUSE_RIGHT", g.MOUSE_BUTTON_RIGHT),
+            ("MOUSE_MIDDLE", g.MOUSE_BUTTON_MIDDLE),
+        ):
+            if g.get_mouse_button(self._win, code) == g.PRESS:
+                out.add(name)
+        return out
+
+    def mouse_delta(self):
+        return self._mouse_delta
+
+    def scroll_delta(self):
+        out = tuple(self._scroll)
+        self._scroll[0] = self._scroll[1] = 0.0
+        return out
+
+
+def create_window(width: int = 1280, height: int = 720, **kwargs) -> BaseWindow:
+    """GLFW when available, headless otherwise (the reference's Noop-backend
+    degradation, ``Renderer.cpp:156``)."""
+    try:
+        return GlfwWindow(width, height)
+    except Exception as e:
+        log.info("[Window] interactive window unavailable (%s); headless", e)
+        return HeadlessWindow(width, height, **kwargs)

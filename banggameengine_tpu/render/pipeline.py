@@ -35,6 +35,7 @@ def render_frame(
     bin_capacity: int = 512,
     depth_only: bool = False,
     return_depth: bool = False,
+    wireframe: bool = False,
 ):
     """Render one shaded frame (or depth buffer).
 
@@ -77,6 +78,7 @@ def render_frame(
         rs.mat_spec_color, rs.mat_tex,
         rs.textures, rs.tex_size,
         camera_pos, light,
+        wireframe=wireframe,
     )
     if return_depth:
         return frame, vis.depth
@@ -85,12 +87,12 @@ def render_frame(
 
 def make_render_fn(render_scene, width: int, height: int,
                    bin_capacity: int = 512, depth_only: bool = False,
-                   return_depth: bool = False):
+                   return_depth: bool = False, wireframe: bool = False):
     """Jitted frame renderer closed over the (static) render scene."""
     fn = functools.partial(
         render_frame, render_scene,
         width=width, height=height,
         bin_capacity=bin_capacity, depth_only=depth_only,
-        return_depth=return_depth,
+        return_depth=return_depth, wireframe=wireframe,
     )
     return jax.jit(fn)

@@ -113,8 +113,13 @@ def shade_visibility(
     textures: Array, tex_size: Array,
     camera_pos: Array,    # f32[3]
     light: LightParams,
+    wireframe: bool = False,
 ) -> Array:
-    """Shade every pixel of the visibility buffer.  Returns u8[H,W,4]."""
+    """Shade every pixel of the visibility buffer.  Returns u8[H,W,4].
+
+    ``wireframe=True`` keeps only pixels near triangle edges (barycentric
+    proximity), the F1 wireframe toggle (``Renderer.cpp:766-783``
+    BGFX_DEBUG_WIREFRAME equivalent)."""
     h, w = vis_tri_id.shape
     tid = jnp.maximum(vis_tri_id, 0)
     i0 = tid * 3
@@ -166,6 +171,10 @@ def shade_visibility(
 
     background = vis_tri_id < 0
     clear = jnp.asarray(CLEAR_COLOR, jnp.float32)
+    if wireframe:
+        min_bary = jnp.minimum(jnp.minimum(b0, b1), b2)
+        on_edge = min_bary < 0.05
+        rgb = jnp.where(on_edge[..., None], rgb, clear)
     rgb = jnp.where(background[..., None], clear, rgb)
     alpha = jnp.where(background, 1.0, alpha)
 
