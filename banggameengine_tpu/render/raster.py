@@ -171,13 +171,12 @@ def setup_triangles(sub_clip, sub_valid, width: int, height: int):
 def bin_triangles(tri, width: int, height: int, bin_capacity: int):
     """Dense bbox-vs-tile binning.
 
-    Returns (tile_tris i32[tiles, K] triangle ids, -1 padded; overflow i32 —
-    count of (tile, tri) pairs dropped because a tile exceeded K).
+    Returns (tile_tris i32[tiles, K] triangle ids, -1 padded; counts
+    i32[tiles]; overflow i32 — (tile, tri) pairs dropped beyond K).
     Tiles are row-major over a [tiles_y, tiles_x] grid.
     """
     tiles_x = (width + TILE_W - 1) // TILE_W
     tiles_y = (height + TILE_H - 1) // TILE_H
-    n_tiles = tiles_x * tiles_y
     t = tri["valid"].shape[0]
 
     tx = jnp.arange(tiles_x, dtype=jnp.float32) * TILE_W
@@ -194,7 +193,7 @@ def bin_triangles(tri, width: int, height: int, bin_capacity: int):
         & tri["valid"][None, :]
     )                                                # [tiles, T]
 
-    # stable compaction: argsort(~mask) puts overlapping tri ids first, in
+    # stable compaction: argsort(~mask) puts overlapping tri ids first in
     # ascending order (deterministic draw order)
     order = jnp.argsort(~ov, axis=1, stable=True)    # [tiles, T]
     k = min(bin_capacity, t)
@@ -203,7 +202,7 @@ def bin_triangles(tri, width: int, height: int, bin_capacity: int):
     slot = jnp.arange(k)[None, :]
     ids = jnp.where(slot < counts[:, None], ids, -1)
     overflow = jnp.sum(jnp.maximum(counts - k, 0))
-    return ids, overflow, (tiles_y, tiles_x)
+    return ids, counts, overflow, (tiles_y, tiles_x)
 
 
 def _raster_tile(tile_ids, tile_x0, tile_y0, sx, sy, z, orig_id, corner_bary,
@@ -283,9 +282,20 @@ def _raster_tile(tile_ids, tile_x0, tile_y0, sx, sy, z, orig_id, corner_bary,
 
 
 def rasterize(clip, tri_valid, width: int, height: int,
-              bin_capacity: int = 512, chunk: int = 8) -> tuple[VisibilityBuffer, Array]:
+              bin_capacity: int = 2048, chunk: int = 8,
+              light_capacity: int = 64, heavy_tiles: int = 64,
+              ) -> tuple[VisibilityBuffer, Array]:
     """Full visibility pass.  width/height are padded up to tile multiples
-    internally; outputs are cropped back.  Returns (vis, bin_overflow)."""
+    internally; outputs are cropped back.  Returns (vis, bin_overflow).
+
+    **Light/heavy split**: triangle density per tile is highly skewed (a
+    detailed mesh concentrates thousands of triangles in a few tiles while
+    most tiles hold a handful).  All tiles raster their first
+    ``light_capacity`` triangles; the ``heavy_tiles`` fullest tiles are
+    re-rastered with the full ``bin_capacity`` and overwrite their light
+    results.  This keeps per-frame work at
+    ``tiles*light + heavy_tiles*bin_capacity`` triangle-tile evaluations
+    instead of ``tiles*bin_capacity``."""
     pad_w = (-width) % TILE_W
     pad_h = (-height) % TILE_H
     rw, rh = width + pad_w, height + pad_h
@@ -304,14 +314,18 @@ def rasterize(clip, tri_valid, width: int, height: int,
     # screen mapping uses the TRUE resolution; the tile grid just extends
     # past the right/bottom edges into cropped padding
     tri = setup_triangles(sub_clip, sub_valid, width, height)
-    ids, overflow, (tiles_y, tiles_x) = bin_triangles(tri, rw, rh, bin_capacity)
-    # pad K to chunk multiple
-    k = ids.shape[1]
-    pad_k = (-k) % chunk
-    if pad_k:
-        ids = jnp.concatenate(
-            [ids, jnp.full((ids.shape[0], pad_k), -1, jnp.int32)], axis=1
-        )
+    ids, counts, overflow, (tiles_y, tiles_x) = bin_triangles(
+        tri, rw, rh, bin_capacity
+    )
+    n_tiles = ids.shape[0]
+
+    def pad_chunk(a):
+        pad_k = (-a.shape[1]) % chunk
+        if pad_k:
+            a = jnp.concatenate(
+                [a, jnp.full((a.shape[0], pad_k), -1, jnp.int32)], axis=1
+            )
+        return a
 
     tx = jnp.tile(jnp.arange(tiles_x, dtype=jnp.float32) * TILE_W, tiles_y)
     ty = jnp.repeat(jnp.arange(tiles_y, dtype=jnp.float32) * TILE_H, tiles_x)
@@ -321,7 +335,29 @@ def rasterize(clip, tri_valid, width: int, height: int,
             i, x0, y0, tri["sx"], tri["sy"], tri["z"], orig_id, sub_bary, chunk
         )
     )
-    zb, tid, b1, b2 = raster(ids, tx, ty)            # [tiles, TH, TW]
+
+    # light pass: every tile, first light_capacity triangles
+    kl = min(light_capacity, ids.shape[1])
+    zb, tid, b1, b2 = raster(pad_chunk(ids[:, :kl]), tx, ty)
+
+    # heavy pass: fullest tiles re-rastered at full capacity
+    h = min(heavy_tiles, n_tiles)
+    if ids.shape[1] > kl and h > 0:
+        heavy_sel = jax.lax.top_k(counts, h)[1]      # tile indices
+        zb_h, tid_h, b1_h, b2_h = raster(
+            pad_chunk(ids[heavy_sel]), tx[heavy_sel], ty[heavy_sel]
+        )
+        # only overwrite tiles that actually exceeded the light capacity
+        needs = (counts[heavy_sel] > kl)[:, None, None]
+        zb = zb.at[heavy_sel].set(jnp.where(needs, zb_h, zb[heavy_sel]))
+        tid = tid.at[heavy_sel].set(jnp.where(needs, tid_h, tid[heavy_sel]))
+        b1 = b1.at[heavy_sel].set(jnp.where(needs, b1_h, b1[heavy_sel]))
+        b2 = b2.at[heavy_sel].set(jnp.where(needs, b2_h, b2[heavy_sel]))
+        # light-capacity overflow not covered by the heavy pass
+        over_light = jnp.maximum(counts - kl, 0).sum() - jnp.maximum(
+            counts[heavy_sel] - kl, 0
+        ).sum()
+        overflow = overflow + over_light
 
     def untile(a):
         a = a.reshape(tiles_y, tiles_x, TILE_H, TILE_W)
