@@ -38,6 +38,7 @@ Array = jax.Array
 
 TILE_H = 32
 TILE_W = 128
+K_GLOBAL = 64  # shared bin for triangles spanning many tiles
 
 
 class VisibilityBuffer(NamedTuple):
@@ -168,63 +169,112 @@ def setup_triangles(sub_clip, sub_valid, width: int, height: int):
     )
 
 
-def bin_triangles(tri, width: int, height: int, bin_capacity: int):
-    """Dense bbox-vs-tile binning.
+def bin_triangles(tri, width: int, height: int,
+                  k_local: int = 256, k_global: int = K_GLOBAL,
+                  span_x: int = 4, span_y: int = 4):
+    """Scatter-based bbox-vs-tile binning (GPU-binner shape).
 
-    Returns (tile_tris i32[tiles, K] triangle ids, -1 padded; counts
-    i32[tiles]; overflow i32 — (tile, tri) pairs dropped beyond K).
-    Tiles are row-major over a [tiles_y, tiles_x] grid.
+    Small triangles (tile span <= span_x x span_y) emit up to
+    ``span_x*span_y`` (tile, tri) pairs; one global sort of the pair keys +
+    a rank-in-run scatter builds per-tile lists — no per-tile row sorts.
+    Triangles spanning more tiles (e.g. the ground plane) go to a shared
+    ``global`` list prepended to every tile.
+
+    Returns (ids i32[tiles, k_global+k_local] -1-padded, counts i32[tiles],
+    overflow i32, (tiles_y, tiles_x)).
     """
     tiles_x = (width + TILE_W - 1) // TILE_W
     tiles_y = (height + TILE_H - 1) // TILE_H
+    n_tiles = tiles_x * tiles_y
     t = tri["valid"].shape[0]
 
-    tx = jnp.arange(tiles_x, dtype=jnp.float32) * TILE_W
-    ty = jnp.arange(tiles_y, dtype=jnp.float32) * TILE_H
-    tile_x0 = jnp.tile(tx, tiles_y)                  # [tiles]
-    tile_y0 = jnp.repeat(ty, tiles_x)
-
     bbox = tri["bbox"]
-    ov = (
-        (bbox[None, :, 0] <= tile_x0[:, None] + TILE_W)
-        & (bbox[None, :, 2] >= tile_x0[:, None])
-        & (bbox[None, :, 1] <= tile_y0[:, None] + TILE_H)
-        & (bbox[None, :, 3] >= tile_y0[:, None])
-        & tri["valid"][None, :]
-    )                                                # [tiles, T]
+    tx0 = jnp.clip(jnp.floor(bbox[:, 0] / TILE_W), 0, tiles_x - 1).astype(jnp.int32)
+    ty0 = jnp.clip(jnp.floor(bbox[:, 1] / TILE_H), 0, tiles_y - 1).astype(jnp.int32)
+    tx1 = jnp.clip(jnp.floor(bbox[:, 2] / TILE_W), 0, tiles_x - 1).astype(jnp.int32)
+    ty1 = jnp.clip(jnp.floor(bbox[:, 3] / TILE_H), 0, tiles_y - 1).astype(jnp.int32)
+    span_w = tx1 - tx0 + 1
+    span_h = ty1 - ty0 + 1
+    is_local = tri["valid"] & (span_w <= span_x) & (span_h <= span_y)
+    is_global = tri["valid"] & ~is_local
 
-    # stable compaction: argsort(~mask) puts overlapping tri ids first in
-    # ascending order (deterministic draw order)
-    order = jnp.argsort(~ov, axis=1, stable=True)    # [tiles, T]
-    k = min(bin_capacity, t)
-    ids = order[:, :k].astype(jnp.int32)
-    counts = jnp.sum(ov, axis=1)
-    slot = jnp.arange(k)[None, :]
-    ids = jnp.where(slot < counts[:, None], ids, -1)
-    overflow = jnp.sum(jnp.maximum(counts - k, 0))
+    # global list (few, big triangles) via sort-free compaction
+    from banggameengine_tpu.physics.solver import compaction_matrix
+
+    gsel, gvalid, gcounts = compaction_matrix(is_global[None, :], k_global)
+    gids_f = jnp.einsum("omc,m->oc", gsel, jnp.arange(t, dtype=jnp.float32))
+    gids = jnp.where(gvalid, gids_f.astype(jnp.int32), -1)[0]     # [k_global]
+    g_overflow = jnp.maximum(gcounts[0] - k_global, 0)
+
+    # local pairs: tri x span slot -> tile id
+    n_span = span_x * span_y
+    slot = jnp.arange(n_span, dtype=jnp.int32)
+    dx = slot % span_x
+    dy = slot // span_x
+    tile_of = (ty0[:, None] + dy[None, :]) * tiles_x + (tx0[:, None] + dx[None, :])
+    pair_ok = (
+        is_local[:, None] & (dx[None, :] < span_w[:, None])
+        & (dy[None, :] < span_h[:, None])
+    )
+    # key packs (tile, tri) keeping ascending tri order within a tile
+    stride = 1 << max(t - 1, 1).bit_length()
+    key = jnp.where(pair_ok, tile_of * stride + jnp.arange(t)[:, None],
+                    jnp.iinfo(jnp.int32).max)
+    key = jnp.sort(key.reshape(-1))                                # ONE sort
+    pk_tile = key // stride
+    pk_tri = key % stride
+    pk_ok = key != jnp.iinfo(jnp.int32).max
+
+    # rank within each tile run
+    m = key.shape[0]
+    same_prev = jnp.concatenate(
+        [jnp.zeros(1, bool), pk_tile[1:] == pk_tile[:-1]]
+    )
+    seg_start = jnp.where(~same_prev, jnp.arange(m), 0)
+    seg_start = jax.lax.associative_scan(jnp.maximum, seg_start)
+    rank = jnp.arange(m) - seg_start
+
+    ids_local = jnp.full((n_tiles + 1, k_local), -1, jnp.int32)
+    ok = pk_ok & (rank < k_local) & (pk_tile < n_tiles)
+    sc_tile = jnp.where(ok, pk_tile, n_tiles)
+    sc_rank = jnp.where(ok, rank, 0)
+    ids_local = ids_local.at[sc_tile, sc_rank].set(
+        jnp.where(ok, pk_tri.astype(jnp.int32), -1), mode="drop"
+    )[:n_tiles]
+    local_counts = jax.ops.segment_sum(
+        pk_ok.astype(jnp.int32), jnp.where(pk_ok, pk_tile, n_tiles),
+        num_segments=n_tiles + 1,
+    )[:n_tiles]
+    l_overflow = jnp.sum(jnp.maximum(local_counts - k_local, 0))
+
+    ids = jnp.concatenate(
+        [jnp.broadcast_to(gids[None, :], (n_tiles, k_global)), ids_local],
+        axis=1,
+    )
+    counts = local_counts + jnp.minimum(gcounts[0], k_global)
+    overflow = g_overflow + l_overflow
     return ids, counts, overflow, (tiles_y, tiles_x)
 
 
-def _raster_tile(tile_ids, tile_x0, tile_y0, sx, sy, z, orig_id, corner_bary,
+def _raster_tile(tile_x0, tile_y0, g_x, g_y, g_z, g_oid, g_cb, g_ok,
                  chunk: int):
-    """Visibility raster of one tile over sub-triangles.
+    """Visibility raster of one tile over PRE-GATHERED sub-triangle data.
 
-    tile_ids i32[K] (-1 pad) index sub-triangles; the output tri_id buffer
-    stores ``orig_id`` and the barycentrics are mapped into original-triangle
-    space through ``corner_bary`` [S,3,3].
+    g_* are this tile's triangle arrays ([K,3] screen coords / depth,
+    [K] original ids, [K,3,3] original-space corner barycentrics, [K]
+    validity) — gathered once outside the pixel loop so the chunk scan is
+    pure vector math (no gathers on the hot path).
     """
-    k = tile_ids.shape[0]
+    k = g_ok.shape[0]
     px = tile_x0 + jnp.arange(TILE_W, dtype=jnp.float32)[None, :] + 0.5
     py = tile_y0 + jnp.arange(TILE_H, dtype=jnp.float32)[:, None] + 0.5
 
-    def chunk_body(carry, cids):
+    n_chunks = k // chunk
+    ch = lambda a: a.reshape((n_chunks, chunk) + a.shape[1:])
+
+    def chunk_body(carry, data):
         zbuf, tid, b1b, b2b = carry
-        safe = jnp.maximum(cids, 0)
-        x = sx[safe]                                  # [C,3]
-        y = sy[safe]
-        zz = z[safe]
-        cb = corner_bary[safe]                        # [C,3,3]
-        oid = orig_id[safe]
+        x, y, zz, oid, cb, okc = data                 # [C,...]
         x0, x1, x2 = x[:, 0, None, None], x[:, 1, None, None], x[:, 2, None, None]
         y0, y1, y2 = y[:, 0, None, None], y[:, 1, None, None], y[:, 2, None, None]
         pxb = px[None]                                # [1,TH,TW]
@@ -247,21 +297,23 @@ def _raster_tile(tile_ids, tile_x0, tile_y0, sx, sy, z, orig_id, corner_bary,
             + b1 * zz[:, 1, None, None]
             + b2 * zz[:, 2, None, None]
         )
-        ok = cover & (cids >= 0)[:, None, None] & (depth >= 0.0) & (depth <= 1.0)
+        ok = cover & okc[:, None, None] & (depth >= 0.0) & (depth <= 1.0)
         depth = jnp.where(ok, depth, jnp.inf)
-        # map sub-space bary -> original-triangle bary
-        ob = (
-            b0[..., None] * cb[:, None, None, 0]
-            + b1[..., None] * cb[:, None, None, 1]
-            + b2[..., None] * cb[:, None, None, 2]
-        )                                             # [C,TH,TW,3]
-        # best in chunk
+        # map sub-space bary -> original-triangle bary (components 1, 2)
+        ob1 = b0 * cb[:, None, None, 0, 1] + b1 * cb[:, None, None, 1, 1] \
+            + b2 * cb[:, None, None, 2, 1]
+        ob2 = b0 * cb[:, None, None, 0, 2] + b1 * cb[:, None, None, 1, 2] \
+            + b2 * cb[:, None, None, 2, 2]
+        # best in chunk via one-hot select (no gathers on the pixel grid)
+        c = depth.shape[0]
         best = jnp.argmin(depth, axis=0)              # [TH,TW]
-        take = functools.partial(jnp.take_along_axis, indices=best[None], axis=0)
-        d_best = take(depth)[0]
-        b1_best = jnp.take_along_axis(ob[..., 1], best[None], axis=0)[0]
-        b2_best = jnp.take_along_axis(ob[..., 2], best[None], axis=0)[0]
-        id_best = oid[best]
+        onehot = best[None] == jnp.arange(c)[:, None, None]
+        d_best = jnp.min(depth, axis=0)
+        b1_best = jnp.sum(jnp.where(onehot, ob1, 0.0), axis=0)
+        b2_best = jnp.sum(jnp.where(onehot, ob2, 0.0), axis=0)
+        id_best = jnp.sum(
+            jnp.where(onehot, oid[:, None, None], 0), axis=0
+        ).astype(jnp.int32)
         better = d_best < zbuf
         zbuf = jnp.where(better, d_best, zbuf)
         tid = jnp.where(better, id_best, tid)
@@ -275,8 +327,8 @@ def _raster_tile(tile_ids, tile_x0, tile_y0, sx, sy, z, orig_id, corner_bary,
         jnp.zeros((TILE_H, TILE_W), jnp.float32),
         jnp.zeros((TILE_H, TILE_W), jnp.float32),
     )
-    chunks = tile_ids.reshape(k // chunk, chunk)
-    (zbuf, tid, b1b, b2b), _ = jax.lax.scan(chunk_body, init, chunks)
+    data = (ch(g_x), ch(g_y), ch(g_z), ch(g_oid), ch(g_cb), ch(g_ok))
+    (zbuf, tid, b1b, b2b), _ = jax.lax.scan(chunk_body, init, data)
     zbuf = jnp.where(jnp.isfinite(zbuf), zbuf, 1.0)
     return zbuf, tid, b1b, b2b
 
@@ -314,38 +366,54 @@ def rasterize(clip, tri_valid, width: int, height: int,
     # screen mapping uses the TRUE resolution; the tile grid just extends
     # past the right/bottom edges into cropped padding
     tri = setup_triangles(sub_clip, sub_valid, width, height)
+    k_local = min(bin_capacity, 2 * t)
     ids, counts, overflow, (tiles_y, tiles_x) = bin_triangles(
-        tri, rw, rh, bin_capacity
+        tri, rw, rh, k_local=k_local
     )
     n_tiles = ids.shape[0]
-
-    def pad_chunk(a):
-        pad_k = (-a.shape[1]) % chunk
-        if pad_k:
-            a = jnp.concatenate(
-                [a, jnp.full((a.shape[0], pad_k), -1, jnp.int32)], axis=1
-            )
-        return a
 
     tx = jnp.tile(jnp.arange(tiles_x, dtype=jnp.float32) * TILE_W, tiles_y)
     ty = jnp.repeat(jnp.arange(tiles_y, dtype=jnp.float32) * TILE_H, tiles_x)
 
+    def pad_chunk(a, fill):
+        pad_k = (-a.shape[1]) % chunk
+        if pad_k:
+            pad_shape = (a.shape[0], pad_k) + a.shape[2:]
+            a = jnp.concatenate(
+                [a, jnp.full(pad_shape, fill, a.dtype)], axis=1
+            )
+        return a
+
+    def gathered(sel_ids):
+        """Pre-gather per-tile triangle data once (no gathers in the pixel
+        loop)."""
+        safe = jnp.maximum(sel_ids, 0)
+        return dict(
+            x=pad_chunk(tri["sx"][safe], 0.0),
+            y=pad_chunk(tri["sy"][safe], 0.0),
+            z=pad_chunk(tri["z"][safe], 0.0),
+            oid=pad_chunk(orig_id[safe], 0),
+            cb=pad_chunk(sub_bary[safe], 0.0),
+            ok=pad_chunk(sel_ids >= 0, False),
+        )
+
     raster = jax.vmap(
-        lambda i, x0, y0: _raster_tile(
-            i, x0, y0, tri["sx"], tri["sy"], tri["z"], orig_id, sub_bary, chunk
+        lambda d, x0, y0: _raster_tile(
+            x0, y0, d["x"], d["y"], d["z"], d["oid"], d["cb"], d["ok"], chunk
         )
     )
 
-    # light pass: every tile, first light_capacity triangles
-    kl = min(light_capacity, ids.shape[1])
-    zb, tid, b1, b2 = raster(pad_chunk(ids[:, :kl]), tx, ty)
+    # light pass: every tile, global list (first K_GLOBAL slots of `ids`)
+    # + first light_capacity locals
+    kl = min(K_GLOBAL + light_capacity, ids.shape[1])
+    zb, tid, b1, b2 = raster(gathered(ids[:, :kl]), tx, ty)
 
     # heavy pass: fullest tiles re-rastered at full capacity
     h = min(heavy_tiles, n_tiles)
     if ids.shape[1] > kl and h > 0:
         heavy_sel = jax.lax.top_k(counts, h)[1]      # tile indices
         zb_h, tid_h, b1_h, b2_h = raster(
-            pad_chunk(ids[heavy_sel]), tx[heavy_sel], ty[heavy_sel]
+            gathered(ids[heavy_sel]), tx[heavy_sel], ty[heavy_sel]
         )
         # only overwrite tiles that actually exceeded the light capacity
         needs = (counts[heavy_sel] > kl)[:, None, None]

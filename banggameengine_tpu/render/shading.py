@@ -127,27 +127,44 @@ def shade_visibility(
     b2 = vis_bary[..., 1]
     b0 = 1.0 - b1 - b2
 
-    # perspective-correct interpolation: weight by 1/w
-    iw0, iw1, iw2 = inv_w[i0], inv_w[i0 + 1], inv_w[i0 + 2]
-    persp_den = b0 * iw0 + b1 * iw1 + b2 * iw2
+    # pack per-vertex attributes into one row so the three per-corner
+    # fetches are single row-gathers instead of 9 scalar gathers per pixel
+    packed = jnp.concatenate(
+        [world_pos, world_nrm, v_uv, inv_w[:, None]], axis=-1
+    )                                                  # [V, 9]
+    a0 = packed[i0]                                    # [H,W,9]
+    a1 = packed[i0 + 1]
+    a2 = packed[i0 + 2]
+
+    iw0, iw1, iw2 = a0[..., 8], a1[..., 8], a2[..., 8]
+    w0 = b0 * iw0
+    w1 = b1 * iw1
+    w2 = b2 * iw2
+    persp_den = w0 + w1 + w2
     inv_den = 1.0 / jnp.where(jnp.abs(persp_den) > 1e-12, persp_den, 1e-12)
+    interp_all = (
+        a0 * w0[..., None] + a1 * w1[..., None] + a2 * w2[..., None]
+    ) * inv_den[..., None]
+    wp = interp_all[..., 0:3]
+    nrm = interp_all[..., 3:6]
+    uv = interp_all[..., 6:8]
 
-    def interp(attr):
-        a0, a1, a2 = attr[i0], attr[i0 + 1], attr[i0 + 2]
-        num = (
-            a0 * (b0 * iw0)[..., None]
-            + a1 * (b1 * iw1)[..., None]
-            + a2 * (b2 * iw2)[..., None]
-        )
-        return num * inv_den[..., None]
-
-    wp = interp(world_pos)                             # [H,W,3]
-    nrm = interp(world_nrm)
-    uv = interp(v_uv)
-
+    # material lookups via one-hot contraction (tiny table, no gathers)
     mid = tri_material[tid]                            # [H,W]
-    uv = uv * mat_uv_scale[mid]
-    tex = sample_texture_bilinear(textures, tex_size, mat_tex[mid], uv)
+    m_count = mat_base_tint.shape[0]
+    m_onehot = jax.nn.one_hot(mid, m_count, dtype=jnp.float32)
+    mat_packed = jnp.concatenate(
+        [mat_base_tint, mat_uv_scale, mat_spec_color,
+         mat_tex[:, None].astype(jnp.float32)], axis=-1,
+    )                                                  # [M, 10]
+    mat_px = jnp.einsum("hwm,mk->hwk", m_onehot, mat_packed)
+    px_tint = mat_px[..., 0:4]
+    px_uv_scale = mat_px[..., 4:6]
+    px_spec_color = mat_px[..., 6:9]
+    px_tex_id = mat_px[..., 9].astype(jnp.int32)
+
+    uv = uv * px_uv_scale
+    tex = sample_texture_bilinear(textures, tex_size, px_tex_id, uv)
 
     n = nrm / jnp.maximum(jnp.linalg.norm(nrm, axis=-1, keepdims=True), 1e-9)
     light_dir = light.direction()
@@ -164,10 +181,10 @@ def shade_visibility(
     # (Renderer.cpp:657-659); per-material spec color is kept
     s = jnp.power(ndoth, light.shininess) * light.spec_intensity
 
-    base = tex[..., :3] * mat_base_tint[mid][..., :3]  # vertex color is white
+    base = tex[..., :3] * px_tint[..., :3]             # vertex color is white
     lit = light.ambient + light.color * diff[..., None]
-    rgb = base * lit + mat_spec_color[mid] * s[..., None]
-    alpha = tex[..., 3] * mat_base_tint[mid][..., 3]
+    rgb = base * lit + px_spec_color * s[..., None]
+    alpha = tex[..., 3] * px_tint[..., 3]
 
     background = vis_tri_id < 0
     clear = jnp.asarray(CLEAR_COLOR, jnp.float32)
