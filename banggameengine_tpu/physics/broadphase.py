@@ -159,15 +159,14 @@ def build_neighbor_lists(
     )
     cand_ok &= overlap
 
-    # compact to max_neighbors by stable argsort over the 27*cap candidates
+    # compact to max_neighbors (sort-free cumsum + one-hot contraction)
+    from banggameengine_tpu.physics.solver import compaction_matrix
+
     flat_ok = cand_ok.reshape(n, -1)
     flat_id = cand.reshape(n, -1)
-    sel = jnp.argsort(~flat_ok, axis=1, stable=True)[:, :max_neighbors]
-    idx = jnp.take_along_axis(flat_id, sel, axis=1)
-    counts = jnp.sum(flat_ok, axis=1)
-    slot = jnp.arange(max_neighbors)[None, :]
-    valid = slot < counts[:, None]
-    idx = jnp.where(valid, idx, -1)
+    selm, valid, counts = compaction_matrix(flat_ok, max_neighbors)
+    idx_f = jnp.einsum("nmc,nm->nc", selm, flat_id.astype(jnp.float32))
+    idx = jnp.where(valid, idx_f.astype(jnp.int32), -1)
     nbr_overflow = jnp.sum(jnp.maximum(counts - max_neighbors, 0)).astype(jnp.int32)
 
     return NeighborLists(idx=idx, valid=valid,

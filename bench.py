@@ -132,7 +132,7 @@ def bench_stress(num_bodies=10000, steps_per_dispatch=20):
     state, static = build_falling_boxes(num_bodies)
     run = make_multi_step_fn(
         static, steps_per_dispatch, broadphase="grid",
-        grid_cell_size=2.5, grid_table_size=16384, max_neighbors=16,
+        grid_cell_size=2.5, grid_table_size=16384, max_neighbors=8,
     )
     inp = InputFrame.zero()
     times = []
