@@ -198,14 +198,19 @@ def pair_contacts(
     )
     valid_cb = inside_a & (depth_cb <= sat_depth[..., None] + _LATERAL_MARGIN)
 
-    # SAT-center fallback: midpoint of support points along +/- n
+    # SAT-center fallback: midpoint of support points along +/- n.
+    # sign() is deadbanded so axes nearly perpendicular to n don't pick a
+    # corner from float noise (keeps the point batch-shape deterministic).
+    def _sign_eps(x, eps=1e-5):
+        return jnp.where(x > eps, 1.0, jnp.where(x < -eps, -1.0, 0.0))
+
     sup_a = pos_a - jnp.einsum(
         "...ij,...j->...i", rot_a,
-        size_a * jnp.sign(jnp.einsum("...ij,...i->...j", rot_a, sat_n)),
+        size_a * _sign_eps(jnp.einsum("...ij,...i->...j", rot_a, sat_n)),
     )
     sup_b = pos_b + jnp.einsum(
         "...ij,...j->...i", rot_b,
-        size_b * jnp.sign(jnp.einsum("...ij,...i->...j", rot_b, sat_n)),
+        size_b * _sign_eps(jnp.einsum("...ij,...i->...j", rot_b, sat_n)),
     )
     center_pt = (0.5 * (sup_a + sup_b))[..., None, :]
     center_depth = sat_depth[..., None]
