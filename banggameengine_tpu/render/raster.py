@@ -336,6 +336,7 @@ def _raster_tile(tile_x0, tile_y0, g_x, g_y, g_z, g_oid, g_cb, g_ok,
 def rasterize(clip, tri_valid, width: int, height: int,
               bin_capacity: int = 2048, chunk: int = 8,
               light_capacity: int = 64, heavy_tiles: int = 64,
+              backend: str = "auto",
               ) -> tuple[VisibilityBuffer, Array]:
     """Full visibility pass.  width/height are padded up to tile multiples
     internally; outputs are cropped back.  Returns (vis, bin_overflow).
@@ -397,23 +398,46 @@ def rasterize(clip, tri_valid, width: int, height: int,
             ok=pad_chunk(sel_ids >= 0, False),
         )
 
-    raster = jax.vmap(
-        lambda d, x0, y0: _raster_tile(
-            x0, y0, d["x"], d["y"], d["z"], d["oid"], d["cb"], d["ok"], chunk
+    if backend == "auto":
+        # the tuned XLA path currently beats the Pallas kernel (the kernel's
+        # per-triangle scalar extracts dominate; round-2: vectorize the
+        # chunk inside the kernel) — keep XLA as the default everywhere
+        backend = "xla"
+    if backend in ("pallas", "pallas_interpret"):
+        from banggameengine_tpu.render.raster_pallas import raster_tiles_pallas
+
+        def raster(d, tile_idx, x0, y0, _tiles_x=tiles_x):
+            del x0, y0  # kernel derives tile origins from tile_idx
+            return raster_tiles_pallas(
+                tile_idx, d["x"], d["y"], d["z"], d["oid"],
+                d["cb"][..., 1], d["cb"][..., 2],
+                d["ok"].astype(jnp.int32), _tiles_x, chunk=chunk,
+                interpret=(backend == "pallas_interpret"),
+            )
+    else:
+        raster = jax.vmap(
+            lambda d, x0, y0: _raster_tile(
+                x0, y0, d["x"], d["y"], d["z"], d["oid"], d["cb"], d["ok"],
+                chunk,
+            ),
+            in_axes=(0, 0, 0),
         )
-    )
+        _xla_raster = raster
+        raster = lambda d, tile_idx, x0, y0: _xla_raster(d, x0, y0)
 
     # light pass: every tile, global list (first K_GLOBAL slots of `ids`)
     # + first light_capacity locals
     kl = min(K_GLOBAL + light_capacity, ids.shape[1])
-    zb, tid, b1, b2 = raster(gathered(ids[:, :kl]), tx, ty)
+    all_tiles = jnp.arange(n_tiles, dtype=jnp.int32)
+    zb, tid, b1, b2 = raster(gathered(ids[:, :kl]), all_tiles, tx, ty)
 
     # heavy pass: fullest tiles re-rastered at full capacity
     h = min(heavy_tiles, n_tiles)
     if ids.shape[1] > kl and h > 0:
         heavy_sel = jax.lax.top_k(counts, h)[1]      # tile indices
         zb_h, tid_h, b1_h, b2_h = raster(
-            gathered(ids[heavy_sel]), tx[heavy_sel], ty[heavy_sel]
+            gathered(ids[heavy_sel]), heavy_sel.astype(jnp.int32),
+            tx[heavy_sel], ty[heavy_sel]
         )
         # only overwrite tiles that actually exceeded the light capacity
         needs = (counts[heavy_sel] > kl)[:, None, None]
