@@ -172,13 +172,32 @@ def build_world(bodies, triggers=(), characters=(), gravity=-9.81,
     return state, static
 
 
+@jax.jit
+def _run50(state, inp, static):
+    """50 scanned steps with the StaticScene TRACED — one compilation serves
+    every test world of the same capacity (host dispatch + per-scene
+    compiles dominate CPU test time otherwise)."""
+    from banggameengine_tpu.engine import engine_step
+
+    def body(carry, _):
+        s, _ev = engine_step(carry, inp, static)
+        return s, None
+
+    out, _ = jax.lax.scan(body, state, None, length=50)
+    return out
+
+
 def run_steps(state, static, steps, inp=None):
+    """Advance `steps` fixed steps (events discarded)."""
     inp = inp or InputFrame.zero()
-    fn = make_step_fn(static, donate=False)
-    events = None
-    for _ in range(steps):
-        state, events = fn(state, inp)
-    return state, events
+    while steps >= 50:
+        state = _run50(state, inp, static)
+        steps -= 50
+    if steps:
+        fn = make_step_fn(static, donate=False)
+        for _ in range(steps):
+            state, _ = fn(state, inp)
+    return state, None
 
 
 # ---------------------------------------------------------------------------
