@@ -55,6 +55,7 @@ def physics_step(
     grid_table_size: int = 4096,
     grid_cell_capacity: int = 8,
     max_neighbors: int = 16,
+    trigger_mode: str = "aabb",
 ) -> tuple[WorldState, StepEvents]:
     dt = static.fixed_dt
     n = state.capacity
@@ -221,7 +222,14 @@ def physics_step(
     # ------------------------------------------------------------------
     # 3. triggers
     # ------------------------------------------------------------------
-    overlap = tg.trigger_overlaps(
+    # 'aabb' matches the reference exactly (btPairCachingGhostObject reports
+    # BROADPHASE pairs, PhysicsSystem.cpp:1028-1031); 'shape' is the exact
+    # shape-overlap variant
+    overlap_fn = (
+        tg.trigger_aabb_overlaps if trigger_mode == "aabb"
+        else tg.trigger_overlaps
+    )
+    overlap = overlap_fn(
         static.trig_entity, static.trig_shape, static.trig_size,
         static.trig_layer, static.trig_mask, state.trigger_active,
         pos, quat, static.shape_type, static.shape_size,
