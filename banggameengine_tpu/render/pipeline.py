@@ -79,6 +79,7 @@ def render_frame(
         rs.textures, rs.tex_size,
         camera_pos, light,
         wireframe=wireframe,
+        textures_quad=getattr(rs, "textures_quad", None),
     )
     if return_depth:
         return frame, vis.depth

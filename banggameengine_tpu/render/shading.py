@@ -62,6 +62,36 @@ class LightParams:
         return jnp.stack([cy * cp, sp, sy * cp])
 
 
+def sample_texture_bilinear_quad(textures_quad: Array, tex_size: Array,
+                                 tex_id: Array, uv: Array) -> Array:
+    """Bilinear sampling with ONE gather per pixel.
+
+    ``textures_quad`` u8[T,S,S,16] packs each texel's wrap-correct 2x2
+    neighborhood (built at scene load), so the four bilinear taps arrive in
+    a single row-gather; only the weights are computed here.
+    """
+    wh = tex_size[tex_id].astype(jnp.float32)
+    w, h = wh[..., 0], wh[..., 1]
+    fx = uv[..., 0] * w - 0.5
+    fy = uv[..., 1] * h - 0.5
+    x0 = jnp.floor(fx)
+    y0 = jnp.floor(fy)
+    tx = fx - x0
+    ty = fy - y0
+
+    def wrap(i, n):
+        return jnp.mod(i.astype(jnp.int32), jnp.maximum(n.astype(jnp.int32), 1))
+
+    x0i = wrap(x0, w)
+    y0i = wrap(y0, h)
+    quad = textures_quad[tex_id, y0i, x0i].astype(jnp.float32) / 255.0
+    c00, c01 = quad[..., 0:4], quad[..., 4:8]
+    c10, c11 = quad[..., 8:12], quad[..., 12:16]
+    top = c00 + (c01 - c00) * tx[..., None]
+    bot = c10 + (c11 - c10) * tx[..., None]
+    return top + (bot - top) * ty[..., None]
+
+
 def sample_texture_bilinear(textures: Array, tex_size: Array, tex_id: Array,
                             uv: Array) -> Array:
     """Bilinear, wrap-repeat texture sampling.
@@ -114,6 +144,7 @@ def shade_visibility(
     camera_pos: Array,    # f32[3]
     light: LightParams,
     wireframe: bool = False,
+    textures_quad: Array | None = None,
 ) -> Array:
     """Shade every pixel of the visibility buffer.  Returns u8[H,W,4].
 
@@ -127,14 +158,16 @@ def shade_visibility(
     b2 = vis_bary[..., 1]
     b0 = 1.0 - b1 - b2
 
-    # pack per-vertex attributes into one row so the three per-corner
-    # fetches are single row-gathers instead of 9 scalar gathers per pixel
+    # pack ALL per-triangle attributes into one row (3 corners x 9) so the
+    # per-pixel fetch is a SINGLE row-gather
     packed = jnp.concatenate(
         [world_pos, world_nrm, v_uv, inv_w[:, None]], axis=-1
     )                                                  # [V, 9]
-    a0 = packed[i0]                                    # [H,W,9]
-    a1 = packed[i0 + 1]
-    a2 = packed[i0 + 2]
+    packed_tri = packed.reshape(-1, 27)                # [T, 27]
+    a_all = packed_tri[tid]                            # [H,W,27]
+    a0 = a_all[..., 0:9]
+    a1 = a_all[..., 9:18]
+    a2 = a_all[..., 18:27]
 
     iw0, iw1, iw2 = a0[..., 8], a1[..., 8], a2[..., 8]
     w0 = b0 * iw0
@@ -164,7 +197,11 @@ def shade_visibility(
     px_tex_id = mat_px[..., 9].astype(jnp.int32)
 
     uv = uv * px_uv_scale
-    tex = sample_texture_bilinear(textures, tex_size, px_tex_id, uv)
+    if textures_quad is not None:
+        tex = sample_texture_bilinear_quad(textures_quad, tex_size,
+                                           px_tex_id, uv)
+    else:
+        tex = sample_texture_bilinear(textures, tex_size, px_tex_id, uv)
 
     n = nrm / jnp.maximum(jnp.linalg.norm(nrm, axis=-1, keepdims=True), 1e-9)
     light_dir = light.direction()

@@ -81,6 +81,10 @@ class RenderScene:
     # texture array (padded to common square size)
     textures: jax.Array        # u8[T,S,S,4]
     tex_size: jax.Array        # i32[T,2] (w,h) actual
+    # bilinear neighborhood pack: [T,S,S,16] = RGBA of texels
+    # (y,x),(y,x+1),(y+1,x),(y+1,x+1) with per-texture wrap — ONE gather
+    # fetches all 4 bilinear taps
+    textures_quad: jax.Array   # u8[T,S,S,16]
 
     # per-entity object-space AABB over its vertices (for culling)
     ent_aabb_min: jax.Array  # f32[N,3]
@@ -495,11 +499,18 @@ def _build_render_scene(
     while s < max_dim:
         s *= 2
     tex_arr = np.zeros((len(tex_list), s, s, 4), np.uint8)
+    tex_quad = np.zeros((len(tex_list), s, s, 16), np.uint8)
     tex_size = np.zeros((len(tex_list), 2), np.int32)
     for i, t in enumerate(tex_list):
         h, w = t.shape[0], t.shape[1]
         tex_arr[i, :h, :w] = t
         tex_size[i] = (w, h)
+        xp = (np.arange(w) + 1) % w
+        yp = (np.arange(h) + 1) % h
+        tex_quad[i, :h, :w, 0:4] = t
+        tex_quad[i, :h, :w, 4:8] = t[:, xp]
+        tex_quad[i, :h, :w, 8:12] = t[yp][:, :]
+        tex_quad[i, :h, :w, 12:16] = t[yp][:, xp]
 
     m_count = len(mat_list)
     mat_base_tint = np.stack([m.base_tint for m in mat_list]) if m_count else np.ones((1, 4), np.float32)
@@ -545,6 +556,7 @@ def _build_render_scene(
         mat_tex=jnp.asarray(mat_tex),
         textures=jnp.asarray(tex_arr),
         tex_size=jnp.asarray(tex_size),
+        textures_quad=jnp.asarray(tex_quad),
         ent_aabb_min=jnp.asarray(ent_aabb_min),
         ent_aabb_max=jnp.asarray(ent_aabb_max),
         ent_has_mesh=jnp.asarray(ent_has_mesh),
