@@ -30,7 +30,6 @@ from banggameengine_tpu.scene.schema import MaterialDesc, SceneDesc
 from banggameengine_tpu.state import (
     BODY_DYNAMIC,
     BODY_KINEMATIC,
-    BODY_NONE,
     BODY_STATIC,
     COMP_CHARACTER,
     COMP_COLLIDER,
@@ -41,7 +40,6 @@ from banggameengine_tpu.state import (
     LAYER_CHARACTER,
     SHAPE_BOX,
     SHAPE_CAPSULE,
-    SHAPE_NONE,
     StaticScene,
     WorldState,
     make_world_state,
