@@ -142,13 +142,16 @@ def _proj_half(rot, half, axis):
 def pair_contacts(
     pos_a, quat_a, type_a, size_a,
     pos_b, quat_b, type_b, size_b,
+    enable_capsule: bool = True,
 ):
     """Contact manifold for batched shape pairs.
 
     All inputs broadcastable to a common batch shape ``B``.  Returns
-    (point f32[B,K_PAIR,3], normal f32[B,K_PAIR,3] from b toward a,
-    depth f32[B,K_PAIR], gvalid bool[B,K_PAIR]) — gvalid marks slots whose
-    shape-type case applies (penetration is ``depth > 0``).
+    (point f32[B,K,3], normal f32[B,K,3] from b toward a, depth f32[B,K],
+    gvalid bool[B,K]) — gvalid marks slots whose shape-type case applies
+    (penetration is ``depth > 0``).  K = K_PAIR, or K_BB when
+    ``enable_capsule=False`` (host-known box-only scenes skip the capsule
+    blocks entirely — characters are ghosts and never reach the solver).
     """
     b_shape = jnp.broadcast_shapes(
         pos_a.shape[:-1], pos_b.shape[:-1], type_a.shape, type_b.shape
@@ -224,6 +227,9 @@ def pair_contacts(
     bb_gvalid = (
         jnp.concatenate([valid_ca, valid_cb, center_valid], axis=-1) & bb_gate
     )
+
+    if not enable_capsule:
+        return bb_pts, bb_n, bb_depth, bb_gvalid
 
     # ---- box-capsule sphere samples (slots 17..19) -----------------------
     seg_a0, seg_a1 = sh.capsule_segment(pos_a, quat_a, size_a[..., 1])

@@ -119,6 +119,22 @@ def physics_step(
     # they depenetrate themselves and exert no impulses)
     solid = alive & has_collider & ~is_char
 
+    # host-known shape census: when no SOLID capsule exists (characters are
+    # ghosts), the capsule narrowphase blocks are dead code — skip them.
+    # Falls back to True when the static scene is traced (hot-reload path).
+    try:
+        import numpy as _np
+        from banggameengine_tpu.state import SHAPE_CAPSULE as _CAP
+
+        st_np = _np.asarray(static.shape_type)
+        bt_np = _np.asarray(static.body_type)
+        caps = (st_np == _CAP) & (bt_np > 0)
+        ce_np = _np.asarray(static.char_entity)
+        caps[ce_np[ce_np >= 0]] = False  # character ghosts never solve
+        enable_capsule = bool(caps.any())
+    except Exception:  # traced static -> keep the general path
+        enable_capsule = True
+
     # ---- broadphase -> fixed-capacity neighbor lists --------------------
     # (both paths prune pairs BEFORE the expensive manifold math; every
     # surviving pair appears mirrored in both bodies' rows for the
@@ -164,6 +180,7 @@ def physics_step(
         static.shape_type[:, None], static.shape_size[:, None],
         pos[safe_j], quat[safe_j],
         static.shape_type[safe_j], static.shape_size[safe_j],
+        enable_capsule=enable_capsule,
     )
     p_valid = p_gvalid & (p_depth > 0.0) & pair_ok[..., None]
     partner = jnp.broadcast_to(nl.idx[:, :, None], p_depth.shape)
