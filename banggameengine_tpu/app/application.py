@@ -270,7 +270,16 @@ class Application:
     # events / reporting
     # ------------------------------------------------------------------
     def _on_trigger_event(self, ev: TriggerEvent) -> None:
-        """Console messages for trigger events (Application.cpp:365-381)."""
+        """Console messages for trigger events (Application.cpp:365-381).
+
+        The bus carries Enter/Stay/Exit like the reference's; the app — like
+        the reference app — only reacts to Enter/Exit (Stay fires every tick
+        while overlapping).
+        """
+        from banggameengine_tpu.app.events import TriggerPhase
+
+        if ev.phase is TriggerPhase.STAY:
+            return
         self._trigger_log.append(ev)
         name = self.entity_label(ev.trigger_entity)
         other = self.entity_label(ev.other_entity)

@@ -61,12 +61,14 @@ class EventBus:
 
 
 def dispatch_step_events(bus: EventBus, step_events, trig_entity,
-                         stay: bool = False, world: int = 0) -> int:
+                         stay: bool = True, world: int = 0) -> int:
     """Convert StepEvents arrays -> TriggerEvent publishes.
 
-    ``stay=False`` skips Stay events (they fire every tick; the reference
-    app only logs Enter/Exit, ``Application.cpp:365-381``).
-    Returns the number of events published.
+    Bus subscribers receive Enter/Stay/Exit every tick like the reference
+    publishes them (``PhysicsSystem.cpp:1040-1058``); it is the *app*
+    handler that ignores Stay (``Application.cpp:365-381``).  Pass
+    ``stay=False`` to skip Stay publishes entirely (they fire every tick
+    while overlapping).  Returns the number of events published.
     """
     te = np.asarray(trig_entity)
     count = 0

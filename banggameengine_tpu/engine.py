@@ -102,20 +102,17 @@ def make_multi_step_fn(
     """Jitted ``lax.scan`` over ``num_steps`` fixed steps with constant input.
 
     Used by benchmarks and headless batch simulation: one dispatch for N
-    ticks keeps the TPU fed.  Returns the final state and the events of the
-    last step only.
+    ticks keeps the TPU fed.  Returns the final state only; callers that
+    need per-step events should use :func:`make_step_fn_with_events`.
     """
 
     def run(state: WorldState, inp: InputFrame):
         def body(carry, _):
-            s, ev = engine_step(carry, inp, static, solver_iterations,
-                                **physics_kwargs)
+            s, _ev = engine_step(carry, inp, static, solver_iterations,
+                                 **physics_kwargs)
             return s, None
 
         final, _ = jax.lax.scan(body, state, None, length=num_steps)
-        # recompute events for the final state transition? events of the last
-        # step are not retained through scan; callers needing per-step events
-        # should use make_step_fn in a host loop or scan with event outputs.
         return final
 
     return jax.jit(run, donate_argnums=(0,))

@@ -132,7 +132,9 @@ def physics_step(
         ce_np = _np.asarray(static.char_entity)
         caps[ce_np[ce_np >= 0]] = False  # character ghosts never solve
         enable_capsule = bool(caps.any())
-    except Exception:  # traced static -> keep the general path
+    except (jax.errors.TracerArrayConversionError,
+            jax.errors.ConcretizationTypeError):
+        # traced static (hot-reload path) -> keep the general path
         enable_capsule = True
 
     # ---- broadphase -> fixed-capacity neighbor lists --------------------

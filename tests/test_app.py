@@ -63,6 +63,31 @@ def test_dispatch_step_events():
     assert got[0].phase is TriggerPhase.ENTER
 
 
+def test_dispatch_step_events_stay_default():
+    """Bus subscribers see Stay by default (PhysicsSystem.cpp:1040-1058
+    publishes Enter/Stay/Exit every tick; only the reference *app* ignores
+    Stay)."""
+    import jax.numpy as jnp
+
+    from banggameengine_tpu.state import StepEvents
+
+    bus = EventBus()
+    got = []
+    bus.subscribe(TriggerEvent, got.append)
+    stay = jnp.zeros((1, 4), bool).at[0, 1].set(True)
+    ev = StepEvents(
+        trigger_enter=jnp.zeros((1, 4), bool),
+        trigger_stay=stay,
+        trigger_exit=jnp.zeros((1, 4), bool),
+    )
+    assert dispatch_step_events(bus, ev, jnp.asarray([3])) == 1
+    assert got[0].phase is TriggerPhase.STAY
+    # opt-out still works
+    got.clear()
+    assert dispatch_step_events(bus, ev, jnp.asarray([3]), stay=False) == 0
+    assert got == []
+
+
 # ---------------------------------------------------------------------------
 # InputSystem
 # ---------------------------------------------------------------------------
