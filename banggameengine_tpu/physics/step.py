@@ -31,6 +31,7 @@ from banggameengine_tpu.physics import solver as sv
 from banggameengine_tpu.physics import triggers as tg
 from banggameengine_tpu.state import (
     BODY_DYNAMIC,
+    BODY_KINEMATIC,
     COMP_CHARACTER,
     COMP_COLLIDER,
     COMP_RIGID_BODY,
@@ -62,6 +63,15 @@ def physics_step(
     alive = state.alive
     has_collider = (state.comp_mask & (COMP_COLLIDER | COMP_CHARACTER)) != 0
     is_dynamic = (static.body_type == BODY_DYNAMIC) & alive
+    # kinematic bodies move by host-set velocity (the TPU image of
+    # SyncKinematicBodiesToPhysics, PhysicsSystem.cpp:952-989: the reference
+    # pushes Transform changes into Bullet each tick and Bullet derives the
+    # body's velocity; here the host sets the velocity directly — see
+    # physics/kinematic.py).  They receive no impulses (inv_mass 0) but
+    # their velocity enters contact relative velocity, so they push and
+    # carry dynamic bodies.
+    is_kinematic = (static.body_type == BODY_KINEMATIC) & alive
+    moving = is_dynamic | is_kinematic
 
     pos = state.pos
     quat = state.quat
@@ -230,13 +240,14 @@ def physics_step(
         iterations=solver_iterations,
     )
 
-    # semi-implicit Euler integrate dynamics
-    pos = jnp.where(is_dynamic[:, None], pos + vel * dt, pos)
+    # semi-implicit Euler integrate dynamic AND kinematic bodies (kinematic
+    # velocity is host-driven and persists across steps until changed)
+    pos = jnp.where(moving[:, None], pos + vel * dt, pos)
     quat = jnp.where(
-        is_dynamic[:, None], math3d.quat_integrate(quat, ang, dt), quat
+        moving[:, None], math3d.quat_integrate(quat, ang, dt), quat
     )
-    vel = jnp.where(is_dynamic[:, None], vel, jnp.zeros_like(vel))
-    ang = jnp.where(is_dynamic[:, None], ang, jnp.zeros_like(ang))
+    vel = jnp.where(moving[:, None], vel, jnp.zeros_like(vel))
+    ang = jnp.where(moving[:, None], ang, jnp.zeros_like(ang))
 
     # ------------------------------------------------------------------
     # 3. triggers
