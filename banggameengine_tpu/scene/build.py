@@ -110,6 +110,26 @@ class BuiltScene:
         """-1 if absent (Scene::FindEntityByLogicalId, Scene.cpp:508-521)."""
         return self.logical_ids.get(logical_id, -1)
 
+    # --- runtime entity CRUD (Scene.cpp:21-83, :354-393) ---------------
+    def spawn(self, state, **kwargs):
+        """Create an entity at runtime; see :func:`ecs.lifecycle.spawn`.
+        Returns (new_state, entity_id); updates self.static in place."""
+        from banggameengine_tpu.ecs.lifecycle import spawn as _spawn
+
+        return _spawn(self, state, **kwargs)
+
+    def despawn(self, state, entity: int):
+        """Destroy an entity at runtime; returns the new WorldState."""
+        from banggameengine_tpu.ecs.lifecycle import despawn as _despawn
+
+        return _despawn(self, state, entity)
+
+    def reparent(self, state, entity: int, new_parent) -> None:
+        """Re-attach an entity under a new parent (local transform kept)."""
+        from banggameengine_tpu.ecs.lifecycle import reparent as _reparent
+
+        _reparent(self, state, entity, new_parent)
+
 
 def _box_inertia_inv(mass: float, half: np.ndarray) -> np.ndarray:
     e = 2.0 * half
@@ -134,6 +154,7 @@ def build_scene(
     capacity: int | None = None,
     auto_character_id: str = "cj",
     max_trigger_slots: int | None = None,
+    level_headroom: int = 2,
 ) -> BuiltScene:
     """Instantiate a parsed scene into device arrays.
 
@@ -281,7 +302,15 @@ def build_scene(
         shape_size[ei] = (cfg.capsule_radius, cfg.capsule_height * 0.5, 0.0)
         body_type[ei] = BODY_KINEMATIC
 
-    level_nodes = compute_levels(parent, alive)
+    # Pad the level schedule for runtime lifecycle (ecs/lifecycle.py): width
+    # to full capacity (spawns can add roots) and depth by `level_headroom`
+    # (reparenting can deepen chains) — CRUD inside this rectangle never
+    # changes array shapes, so the traced-static step never recompiles.
+    tight = compute_levels(parent, alive)
+    level_nodes = np.full(
+        (tight.shape[0] + max(level_headroom, 0), n), -1, np.int32
+    )
+    level_nodes[: tight.shape[0], : tight.shape[1]] = tight
 
     static = StaticScene(
         parent=jnp.asarray(parent),
