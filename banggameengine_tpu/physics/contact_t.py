@@ -1,0 +1,472 @@
+"""Transposed (component-form) contact pipeline for large worlds.
+
+The general pipeline (:mod:`narrowphase` + :mod:`solver`) carries vectors as
+``[..., 3]``-minor arrays; at N=10k those tile terribly on TPU (a [N,K,3]
+f32 maps its last dims onto the (8,128) tile, wasting ~40x of every tile).
+This module is the same math written **component-form with the body axis
+last** — every intermediate is ``[slots, N]`` with N on the 128-lane axis,
+so the VPU runs at full occupancy.  Profiled at N=10k on v5e: narrowphase +
+solve drops from ~70 ms to a few ms.
+
+Scope: box-box + implicit ground plane (the 10k-body stress config, driver
+config #2 — the scene census in :func:`physics.step.physics_step` routes
+box-only worlds here; worlds with solid capsules use the general path).
+The math mirrors ``narrowphase.box_box_sat_mtv`` / ``pair_contacts`` /
+``ground_contacts`` and ``solver.solve_contacts_unified`` exactly (same
+constants, same iteration scheme), replacing Bullet's dispatcher + sequential
+impulse solver (``PhysicsSystem.cpp:124-128``) at scale.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from banggameengine_tpu import math3d
+from banggameengine_tpu.physics.solver import (
+    BAUMGARTE,
+    PENETRATION_SLOP,
+    RESTITUTION_THRESHOLD,
+)
+
+Array = jax.Array
+
+_LATERAL_MARGIN = 0.02   # == narrowphase._LATERAL_MARGIN
+K_BB = 17                # 8 + 8 corners + SAT-center fallback
+K_GROUND = 8
+
+# the 8 corner sign combinations of a box (x, y, z in {-1, +1})
+_SIGNS = [(sx, sy, sz) for sx in (-1.0, 1.0) for sy in (-1.0, 1.0)
+          for sz in (-1.0, 1.0)]
+
+
+def _rot_comps(quat: Array):
+    """quat [N,4] -> tuple of 9 arrays [N]: row-major R[i][j]."""
+    r = math3d.quat_to_mat3(quat)
+    return tuple(r[:, i, j] for i in range(3) for j in range(3))
+
+
+def _cross(ax, ay, az, bx, by, bz):
+    return (ay * bz - az * by, az * bx - ax * bz, ax * by - ay * bx)
+
+
+def _dot(ax, ay, az, bx, by, bz):
+    return ax * bx + ay * by + az * bz
+
+
+def _sign_eps(x, eps=1e-5):
+    return jnp.where(x > eps, 1.0, jnp.where(x < -eps, -1.0, 0.0))
+
+
+def box_contacts_t(
+    pos: Array,        # f32[N,3]
+    quat: Array,       # f32[N,4]
+    half: Array,       # f32[N,3] box half extents
+    nb_idx: Array,     # i32[N,K] partner ids (-1 padded)
+    nb_valid: Array,   # bool[N,K]
+    ground_valid: Array,  # bool[N] row may contact the ground plane
+    budget: int = 12,
+):
+    """Box-box SAT manifolds + ground contacts, compacted per body.
+
+    Returns transposed contact arrays, everything [C, N] (C = budget):
+    (cb partner ids with -1 = static/ground, point xyz, normal xyz from
+    partner toward row body, depth, valid, overflow).
+    """
+    n = pos.shape[0]
+    k = nb_idx.shape[1]
+
+    px, py, pz = pos[:, 0], pos[:, 1], pos[:, 2]
+    hx, hy, hz = half[:, 0], half[:, 1], half[:, 2]
+    a = _rot_comps(quat)   # a[3*i+j] = Ra[i][j], shape [N]
+
+    idx_t = nb_idx.T                        # [K,N]
+    ok_t = nb_valid.T
+    safe = jnp.maximum(idx_t, 0)
+
+    # partner components, gathered once: [K,N]
+    qbx, qby, qbz = px[safe], py[safe], pz[safe]
+    gx, gy, gz = hx[safe], hy[safe], hz[safe]
+    b = tuple(c[safe] for c in a)           # b[3*i+j] = Rb[i][j], [K,N]
+
+    # ---- SAT: 15 axes, component form ---------------------------------
+    # R = Ra^T Rb  (r[i][j] = sum_k Ra[k][i] Rb[k][j]), [K,N]
+    r = [[a[0 + i] * b[0 + j] + a[3 + i] * b[3 + j] + a[6 + i] * b[6 + j]
+          for j in range(3)] for i in range(3)]
+    ar = [[jnp.abs(r[i][j]) for j in range(3)] for i in range(3)]
+
+    twx, twy, twz = qbx - px, qby - py, qbz - pz       # t in world
+    # t in a frame: ta_i = Ra col_i . t = sum_k Ra[k][i] t_k
+    ta = [a[0 + i] * twx + a[3 + i] * twy + a[6 + i] * twz for i in range(3)]
+    tb = [b[0 + i] * twx + b[3 + i] * twy + b[6 + i] * twz for i in range(3)]
+
+    ha = [jnp.broadcast_to(c, idx_t.shape) for c in (hx, hy, hz)]
+    hb = [gx, gy, gz]
+
+    best_d = jnp.full(idx_t.shape, jnp.inf, jnp.float32)
+    bnx = jnp.zeros(idx_t.shape, jnp.float32)
+    bny = jnp.zeros(idx_t.shape, jnp.float32)
+    bnz = jnp.zeros(idx_t.shape, jnp.float32)
+    separated = jnp.zeros(idx_t.shape, bool)
+
+    def consider(ov, axx, axy, axz, axis_ok, best):
+        best_d, bnx, bny, bnz, separated = best
+        separated = separated | (axis_ok & (ov < 0.0))
+        take = axis_ok & (ov < best_d)
+        best_d = jnp.where(take, ov, best_d)
+        bnx = jnp.where(take, axx, bnx)
+        bny = jnp.where(take, axy, bny)
+        bnz = jnp.where(take, axz, bnz)
+        return best_d, bnx, bny, bnz, separated
+
+    best = (best_d, bnx, bny, bnz, separated)
+    ones = jnp.ones(idx_t.shape, bool)
+    for i in range(3):      # A face axes (world = Ra column i)
+        ov = (ha[i] + hb[0] * ar[i][0] + hb[1] * ar[i][1] + hb[2] * ar[i][2]
+              - jnp.abs(ta[i]))
+        best = consider(ov, a[0 + i][None] * jnp.ones_like(ov),
+                        a[3 + i][None] * jnp.ones_like(ov),
+                        a[6 + i][None] * jnp.ones_like(ov), ones, best)
+    for j in range(3):      # B face axes (world = Rb column j)
+        ov = (ha[0] * ar[0][j] + ha[1] * ar[1][j] + ha[2] * ar[2][j] + hb[j]
+              - jnp.abs(tb[j]))
+        best = consider(ov, b[0 + j], b[3 + j], b[6 + j], ones, best)
+    for i in range(3):      # cross axes A_i x B_j
+        i1, i2 = (i + 1) % 3, (i + 2) % 3
+        for j in range(3):
+            j1, j2 = (j + 1) % 3, (j + 2) % 3
+            ln = jnp.sqrt(jnp.maximum(1.0 - r[i][j] ** 2, 0.0))
+            axis_ok = ln > 1e-4
+            inv_ln = 1.0 / jnp.maximum(ln, 1e-4)
+            ra_ij = ha[i1] * ar[i2][j] + ha[i2] * ar[i1][j]
+            rb_ij = hb[j1] * ar[i][j2] + hb[j2] * ar[i][j1]
+            dist = jnp.abs(ta[i2] * r[i1][j] - ta[i1] * r[i2][j])
+            ov = (ra_ij + rb_ij - dist) * inv_ln
+            # axis = (Ra col i) x (Rb col j), then normalized by inv_ln
+            cx, cy, cz = _cross(
+                a[0 + i][None] * jnp.ones_like(ov), a[3 + i], a[6 + i],
+                b[0 + j], b[3 + j], b[6 + j],
+            )
+            best = consider(ov, cx * inv_ln, cy * inv_ln, cz * inv_ln,
+                            axis_ok, best)
+    sat_d, bnx, bny, bnz, separated = best
+
+    # orient the normal from b toward a: axis . (-t) > 0
+    sgn = jnp.sign(-(bnx * twx + bny * twy + bnz * twz))
+    sgn = jnp.where(sgn == 0.0, 1.0, sgn)
+    bnx, bny, bnz = bnx * sgn, bny * sgn, bnz * sgn
+    overlap = ok_t & ~separated & jnp.isfinite(sat_d)
+    sat_d = jnp.where(overlap, sat_d, 0.0)
+
+    # ---- manifold candidates (17 slots per pair) ------------------------
+    # support extents of each box along n
+    proj_a = (ha[0] * jnp.abs(a[0][None] * bnx + a[3] * bny + a[6] * bnz)
+              + ha[1] * jnp.abs(a[1][None] * bnx + a[4] * bny + a[7] * bnz)
+              + ha[2] * jnp.abs(a[2][None] * bnx + a[5] * bny + a[8] * bnz))
+    proj_b = (hb[0] * jnp.abs(b[0] * bnx + b[3] * bny + b[6] * bnz)
+              + hb[1] * jnp.abs(b[1] * bnx + b[4] * bny + b[7] * bnz)
+              + hb[2] * jnp.abs(b[2] * bnx + b[5] * bny + b[8] * bnz))
+    plane_b = (bnx * qbx + bny * qby + bnz * qbz) + proj_b
+    plane_a = (bnx * px + bny * py + bnz * pz) - proj_a
+
+    # corners of a: [8][N] components (per body, shared across K)
+    ca = []
+    for sx, sy, sz in _SIGNS:
+        ox, oy, oz = sx * hx, sy * hy, sz * hz
+        ca.append((
+            px + a[0] * ox + a[1] * oy + a[2] * oz,
+            py + a[3] * ox + a[4] * oy + a[5] * oz,
+            pz + a[6] * ox + a[7] * oy + a[8] * oz,
+        ))
+    # corners of b: [8][K,N]
+    cbn = []
+    for sx, sy, sz in _SIGNS:
+        ox, oy, oz = sx * gx, sy * gy, sz * gz
+        cbn.append((
+            qbx + b[0] * ox + b[1] * oy + b[2] * oz,
+            qby + b[3] * ox + b[4] * oy + b[5] * oz,
+            qbz + b[6] * ox + b[7] * oy + b[8] * oz,
+        ))
+
+    slots_pt = []     # each: (x,y,z) [K,N]
+    slots_depth = []
+    slots_valid = []
+
+    any_corner = jnp.zeros(idx_t.shape, bool)
+    for cx, cy, cz in ca:      # a's corners against b's slab + volume
+        d = plane_b - (bnx * cx + bny * cy + bnz * cz)
+        # corner in b's frame
+        dxw, dyw, dzw = cx - qbx, cy - qby, cz - qbz
+        lb0 = b[0] * dxw + b[3] * dyw + b[6] * dzw
+        lb1 = b[1] * dxw + b[4] * dyw + b[7] * dzw
+        lb2 = b[2] * dxw + b[5] * dyw + b[8] * dzw
+        inside = ((jnp.abs(lb0) <= hb[0] + _LATERAL_MARGIN)
+                  & (jnp.abs(lb1) <= hb[1] + _LATERAL_MARGIN)
+                  & (jnp.abs(lb2) <= hb[2] + _LATERAL_MARGIN))
+        v = overlap & inside & (d <= sat_d + _LATERAL_MARGIN)
+        slots_pt.append((jnp.broadcast_to(cx, idx_t.shape),
+                         jnp.broadcast_to(cy, idx_t.shape),
+                         jnp.broadcast_to(cz, idx_t.shape)))
+        slots_depth.append(d)
+        slots_valid.append(v)
+        any_corner |= v
+    for cx, cy, cz in cbn:     # b's corners against a's slab + volume
+        d = (bnx * cx + bny * cy + bnz * cz) - plane_a
+        dxw, dyw, dzw = cx - px, cy - py, cz - pz
+        la0 = a[0] * dxw + a[3] * dyw + a[6] * dzw
+        la1 = a[1] * dxw + a[4] * dyw + a[7] * dzw
+        la2 = a[2] * dxw + a[5] * dyw + a[8] * dzw
+        inside = ((jnp.abs(la0) <= ha[0] + _LATERAL_MARGIN)
+                  & (jnp.abs(la1) <= ha[1] + _LATERAL_MARGIN)
+                  & (jnp.abs(la2) <= ha[2] + _LATERAL_MARGIN))
+        v = overlap & inside & (d <= sat_d + _LATERAL_MARGIN)
+        slots_pt.append((cx, cy, cz))
+        slots_depth.append(d)
+        slots_valid.append(v)
+        any_corner |= v
+
+    # SAT-center fallback (edge-edge): midpoint of the +/-n support points
+    na0 = a[0][None] * bnx + a[3] * bny + a[6] * bnz   # Ra^T n comps
+    na1 = a[1][None] * bnx + a[4] * bny + a[7] * bnz
+    na2 = a[2][None] * bnx + a[5] * bny + a[8] * bnz
+    sa0, sa1, sa2 = (_sign_eps(na0) * ha[0], _sign_eps(na1) * ha[1],
+                     _sign_eps(na2) * ha[2])
+    supax = px - (a[0] * sa0 + a[1] * sa1 + a[2] * sa2)
+    supay = py - (a[3] * sa0 + a[4] * sa1 + a[5] * sa2)
+    supaz = pz - (a[6] * sa0 + a[7] * sa1 + a[8] * sa2)
+    nb0 = b[0] * bnx + b[3] * bny + b[6] * bnz
+    nb1 = b[1] * bnx + b[4] * bny + b[7] * bnz
+    nb2 = b[2] * bnx + b[5] * bny + b[8] * bnz
+    sb0, sb1, sb2 = (_sign_eps(nb0) * hb[0], _sign_eps(nb1) * hb[1],
+                     _sign_eps(nb2) * hb[2])
+    supbx = qbx + (b[0] * sb0 + b[1] * sb1 + b[2] * sb2)
+    supby = qby + (b[3] * sb0 + b[4] * sb1 + b[5] * sb2)
+    supbz = qbz + (b[6] * sb0 + b[7] * sb1 + b[8] * sb2)
+    slots_pt.append((0.5 * (supax + supbx), 0.5 * (supay + supby),
+                     0.5 * (supaz + supbz)))
+    slots_depth.append(sat_d)
+    slots_valid.append(overlap & ~any_corner)
+
+    # ---- flatten pair slots to [K*17, N] + append ground [8, N] ---------
+    m_pair = k * K_BB
+    ptx = jnp.stack([s[0] for s in slots_pt]).reshape(m_pair, n)
+    pty = jnp.stack([s[1] for s in slots_pt]).reshape(m_pair, n)
+    ptz = jnp.stack([s[2] for s in slots_pt]).reshape(m_pair, n)
+    # slot-major stacking: slots vary fastest over K via stack axis order —
+    # stack gives [17, K, N]; reshape keeps (slot, k) grouping; partner id
+    # must match: tile idx_t over the 17 slots the same way
+    nxs = jnp.broadcast_to(bnx, (K_BB, k, n)).reshape(m_pair, n)
+    nys = jnp.broadcast_to(bny, (K_BB, k, n)).reshape(m_pair, n)
+    nzs = jnp.broadcast_to(bnz, (K_BB, k, n)).reshape(m_pair, n)
+    dep = jnp.stack(slots_depth).reshape(m_pair, n)
+    val = jnp.stack(slots_valid).reshape(m_pair, n)
+    prt = jnp.broadcast_to(idx_t, (K_BB, k, n)).reshape(m_pair, n)
+
+    # ground: 8 corners of each box against y=0 (normal +Y)
+    g_ptx = jnp.stack([c[0] for c in ca])          # [8,N]
+    g_pty = jnp.stack([c[1] for c in ca])
+    g_ptz = jnp.stack([c[2] for c in ca])
+    g_dep = -g_pty
+    g_val = ground_valid[None, :] & jnp.ones((K_GROUND, n), bool)
+
+    ptx = jnp.concatenate([ptx, g_ptx])
+    pty = jnp.concatenate([pty, g_pty])
+    ptz = jnp.concatenate([ptz, g_ptz])
+    nxs = jnp.concatenate([nxs, jnp.zeros((K_GROUND, n))])
+    nys = jnp.concatenate([nys, jnp.ones((K_GROUND, n))])
+    nzs = jnp.concatenate([nzs, jnp.zeros((K_GROUND, n))])
+    dep = jnp.concatenate([dep, g_dep])
+    val = jnp.concatenate([val, g_val]) & (dep > 0.0)
+    prt = jnp.concatenate([prt, jnp.full((K_GROUND, n), -1, jnp.int32)])
+
+    # ---- compact to [budget, N] -----------------------------------------
+    dest = jnp.cumsum(val.astype(jnp.int32), axis=0) - 1
+    dest = jnp.where(val, dest, -1)
+    counts = jnp.sum(val.astype(jnp.int32), axis=0)
+
+    def take(arr, fill):
+        out = []
+        for c in range(budget):
+            sel = dest == c
+            out.append(jnp.sum(jnp.where(sel, arr, 0), axis=0))
+        res = jnp.stack(out)                        # [budget, N]
+        got = jnp.arange(budget)[:, None] < counts[None, :]
+        return jnp.where(got, res, fill)
+
+    c_ptx = take(ptx, 0.0)
+    c_pty = take(pty, 0.0)
+    c_ptz = take(ptz, 0.0)
+    c_nx = take(nxs, 0.0)
+    c_ny = take(nys, 0.0)
+    c_nz = take(nzs, 0.0)
+    c_dep = take(dep, 0.0)
+    c_prt = take(prt.astype(jnp.float32), -1.0).astype(jnp.int32)
+    c_valid = jnp.arange(budget)[:, None] < jnp.minimum(counts, budget)[None, :]
+    c_prt = jnp.where(c_valid, c_prt, -1)
+    overflow = jnp.sum(jnp.maximum(counts - budget, 0))
+    return (c_prt, c_ptx, c_pty, c_ptz, c_nx, c_ny, c_nz, c_dep, c_valid,
+            overflow)
+
+
+def _inertia_world_comps(quat: Array, inv_inertia_body: Array):
+    """Symmetric world-frame inverse inertia: 6 comps [N]
+    (i00,i01,i02,i11,i12,i22); I = R diag(d) R^T."""
+    a = _rot_comps(quat)
+    d0, d1, d2 = (inv_inertia_body[:, 0], inv_inertia_body[:, 1],
+                  inv_inertia_body[:, 2])
+
+    def entry(i, j):
+        return (a[3 * i + 0] * d0 * a[3 * j + 0]
+                + a[3 * i + 1] * d1 * a[3 * j + 1]
+                + a[3 * i + 2] * d2 * a[3 * j + 2])
+
+    return (entry(0, 0), entry(0, 1), entry(0, 2),
+            entry(1, 1), entry(1, 2), entry(2, 2))
+
+
+def _sym_mul(i6, vx, vy, vz):
+    """(symmetric 3x3 given by 6 comps) @ v, component-wise."""
+    i00, i01, i02, i11, i12, i22 = i6
+    return (i00 * vx + i01 * vy + i02 * vz,
+            i01 * vx + i11 * vy + i12 * vz,
+            i02 * vx + i12 * vy + i22 * vz)
+
+
+@functools.partial(jax.jit, static_argnames=("iterations",))
+def solve_contacts_t(
+    vel: Array,        # f32[N,3]
+    ang: Array,        # f32[N,3]
+    pos: Array,        # f32[N,3]
+    quat: Array,       # f32[N,4]
+    inv_m: Array,      # f32[N]
+    inv_inertia_body: Array,  # f32[N,3]
+    c_prt, c_ptx, c_pty, c_ptz, c_nx, c_ny, c_nz, c_dep, c_valid,
+    c_mu, c_e,         # [C,N]
+    dt,
+    iterations: int = 10,
+):
+    """Transposed image of :func:`solver.solve_contacts_unified` (same
+    mass-splitting Jacobi scheme, same constants); returns (vel, ang)."""
+    n = pos.shape[0]
+    vx, vy, vz = vel[:, 0], vel[:, 1], vel[:, 2]
+    wx, wy, wz = ang[:, 0], ang[:, 1], ang[:, 2]
+    px, py, pz = pos[:, 0], pos[:, 1], pos[:, 2]
+
+    is_static = c_prt < 0
+    safe = jnp.maximum(c_prt, 0)
+
+    rax = c_ptx - px[None]
+    ray = c_pty - py[None]
+    raz = c_ptz - pz[None]
+    rbx = c_ptx - px[safe]
+    rby = c_pty - py[safe]
+    rbz = c_ptz - pz[safe]
+
+    # orthonormal tangents (same branchless helper as the general solver)
+    use_x = jnp.abs(c_nx) < 0.7
+    hx = jnp.where(use_x, 1.0, 0.0)
+    hy = jnp.where(use_x, 0.0, 1.0)
+    t1x, t1y, t1z = _cross(c_nx, c_ny, c_nz, hx, hy, jnp.zeros_like(hx))
+    t1n = jnp.maximum(jnp.sqrt(t1x**2 + t1y**2 + t1z**2), 1e-9)
+    t1x, t1y, t1z = t1x / t1n, t1y / t1n, t1z / t1n
+    t2x, t2y, t2z = _cross(c_nx, c_ny, c_nz, t1x, t1y, t1z)
+
+    ia = _inertia_world_comps(quat, inv_inertia_body)       # 6 x [N]
+    ia_c = tuple(c[None] for c in ia)                       # broadcast [1,N]
+    ib = tuple(jnp.where(is_static, 0.0, c[safe]) for c in ia)
+    im_a = inv_m[None]
+    im_b = jnp.where(is_static, 0.0, inv_m[safe])
+
+    def k_along(dx, dy, dz):
+        cxa, cya, cza = _cross(rax, ray, raz, dx, dy, dz)
+        ixa, iya, iza = _sym_mul(ia_c, cxa, cya, cza)
+        axx, axy, axz = _cross(ixa, iya, iza, rax, ray, raz)
+        cxb, cyb, czb = _cross(rbx, rby, rbz, dx, dy, dz)
+        ixb, iyb, izb = _sym_mul(ib, cxb, cyb, czb)
+        bxx, bxy, bxz = _cross(ixb, iyb, izb, rbx, rby, rbz)
+        kk = (im_a + im_b
+              + _dot(dx, dy, dz, axx, axy, axz)
+              + _dot(dx, dy, dz, bxx, bxy, bxz))
+        return jnp.maximum(kk, 1e-9)
+
+    kn = k_along(c_nx, c_ny, c_nz)
+    kt1 = k_along(t1x, t1y, t1z)
+    kt2 = k_along(t2x, t2y, t2z)
+
+    def rel_vel(vx_, vy_, vz_, wx_, wy_, wz_, packed):
+        """packed: [N, 8] (vx..wz + pad) — partner state arrives in ONE
+        gather (measured 5x cheaper than six [C,N]<-[N] gathers on v5e)."""
+        cax, cay, caz = _cross(wx_[None] * jnp.ones_like(rax),
+                               wy_[None] * jnp.ones_like(rax),
+                               wz_[None] * jnp.ones_like(rax),
+                               rax, ray, raz)
+        vax = vx_[None] + cax
+        vay = vy_[None] + cay
+        vaz = vz_[None] + caz
+        g = jnp.where(is_static[..., None], 0.0, packed[safe])  # [C,N,8]
+        gbx, gby, gbz = g[..., 0], g[..., 1], g[..., 2]
+        gwx, gwy, gwz = g[..., 3], g[..., 4], g[..., 5]
+        cbx, cby, cbz = _cross(gwx, gwy, gwz, rbx, rby, rbz)
+        return (vax - gbx - cbx, vay - gby - cby, vaz - gbz - cbz)
+
+    def pack(vx_, vy_, vz_, wx_, wy_, wz_):
+        return jnp.stack(
+            [vx_, vy_, vz_, wx_, wy_, wz_,
+             jnp.zeros_like(vx_), jnp.zeros_like(vx_)], axis=-1)
+
+    rx, ry, rz = rel_vel(vx, vy, vz, wx, wy, wz, pack(vx, vy, vz, wx, wy, wz))
+    vn0 = _dot(rx, ry, rz, c_nx, c_ny, c_nz)
+    bounce = c_e * jnp.maximum(-vn0 - RESTITUTION_THRESHOLD, 0.0)
+    baum = (BAUMGARTE / dt) * jnp.maximum(c_dep - PENETRATION_SLOP, 0.0)
+    target = jnp.maximum(bounce, baum)
+
+    cnt = jnp.sum(c_valid, axis=0).astype(jnp.float32)
+    inv_split_m = inv_m / jnp.maximum(cnt, 1.0)
+    inv_split = 1.0 / jnp.maximum(cnt, 1.0)
+
+    zeros = jnp.zeros_like(c_dep)
+
+    def body(_, carry):
+        vx_, vy_, vz_, wx_, wy_, wz_, ln, lt1, lt2 = carry
+        rx, ry, rz = rel_vel(vx_, vy_, vz_, wx_, wy_, wz_,
+                             pack(vx_, vy_, vz_, wx_, wy_, wz_))
+        vn = _dot(rx, ry, rz, c_nx, c_ny, c_nz)
+        ln_new = jnp.maximum(ln + (-(vn - target)) / kn, 0.0)
+        dln = jnp.where(c_valid, ln_new - ln, 0.0)
+        ln = jnp.where(c_valid, ln_new, ln)
+
+        vt1 = _dot(rx, ry, rz, t1x, t1y, t1z)
+        vt2 = _dot(rx, ry, rz, t2x, t2y, t2z)
+        max_f = c_mu * ln
+        lt1_new = jnp.clip(lt1 - vt1 / kt1, -max_f, max_f)
+        lt2_new = jnp.clip(lt2 - vt2 / kt2, -max_f, max_f)
+        dlt1 = jnp.where(c_valid, lt1_new - lt1, 0.0)
+        dlt2 = jnp.where(c_valid, lt2_new - lt2, 0.0)
+        lt1 = jnp.where(c_valid, lt1_new, lt1)
+        lt2 = jnp.where(c_valid, lt2_new, lt2)
+
+        impx = dln * c_nx + dlt1 * t1x + dlt2 * t2x
+        impy = dln * c_ny + dlt1 * t1y + dlt2 * t2y
+        impz = dln * c_nz + dlt1 * t1z + dlt2 * t2z
+        linx = jnp.sum(impx, axis=0)
+        liny = jnp.sum(impy, axis=0)
+        linz = jnp.sum(impz, axis=0)
+        tqx, tqy, tqz = _cross(rax, ray, raz, impx, impy, impz)
+        angx = jnp.sum(tqx, axis=0)
+        angy = jnp.sum(tqy, axis=0)
+        angz = jnp.sum(tqz, axis=0)
+        vx_ = vx_ + linx * inv_split_m
+        vy_ = vy_ + liny * inv_split_m
+        vz_ = vz_ + linz * inv_split_m
+        iwx, iwy, iwz = _sym_mul(ia, angx, angy, angz)
+        wx_ = wx_ + iwx * inv_split
+        wy_ = wy_ + iwy * inv_split
+        wz_ = wz_ + iwz * inv_split
+        return vx_, vy_, vz_, wx_, wy_, wz_, ln, lt1, lt2
+
+    carry = (vx, vy, vz, wx, wy, wz, zeros, zeros, zeros)
+    carry = jax.lax.fori_loop(0, iterations, body, carry)
+    vx, vy, vz, wx, wy, wz = carry[:6]
+    return jnp.stack([vx, vy, vz], axis=1), jnp.stack([wx, wy, wz], axis=1)

@@ -88,6 +88,17 @@ def physics_step(
     char_ent = static.char_entity
     safe_ce = jnp.where(char_ent >= 0, char_ent, 0)
 
+    # host-known census: a scene with no character slot in use skips the
+    # whole character sweep (the 10k-stress scene pays a full capsule-vs-N
+    # pass for one dead slot otherwise); traced statics keep the sweep.
+    try:
+        import numpy as _np
+
+        any_char = bool((_np.asarray(char_ent) >= 0).any())
+    except (jax.errors.TracerArrayConversionError,
+            jax.errors.ConcretizationTypeError):
+        any_char = True
+
     obstacle_base = alive & has_collider
 
     def one_char(slot):
@@ -105,18 +116,23 @@ def physics_step(
         )
         return new_c, new_vy, new_g
 
-    new_centers, new_vys, new_grounds = jax.vmap(one_char)(jnp.arange(c_slots))
-    char_valid = (char_ent >= 0) & alive[safe_ce]
+    if any_char:
+        new_centers, new_vys, new_grounds = jax.vmap(one_char)(
+            jnp.arange(c_slots))
+        char_valid = (char_ent >= 0) & alive[safe_ce]
 
-    pos = pos.at[safe_ce].set(
-        jnp.where(char_valid[:, None], new_centers, pos[safe_ce])
-    )
-    char_vel_y = state.char_vel_y.at[safe_ce].set(
-        jnp.where(char_valid, new_vys, state.char_vel_y[safe_ce])
-    )
-    char_on_ground = state.char_on_ground.at[safe_ce].set(
-        jnp.where(char_valid, new_grounds, state.char_on_ground[safe_ce])
-    )
+        pos = pos.at[safe_ce].set(
+            jnp.where(char_valid[:, None], new_centers, pos[safe_ce])
+        )
+        char_vel_y = state.char_vel_y.at[safe_ce].set(
+            jnp.where(char_valid, new_vys, state.char_vel_y[safe_ce])
+        )
+        char_on_ground = state.char_on_ground.at[safe_ce].set(
+            jnp.where(char_valid, new_grounds, state.char_on_ground[safe_ce])
+        )
+    else:
+        char_vel_y = state.char_vel_y
+        char_on_ground = state.char_on_ground
 
     # ------------------------------------------------------------------
     # 2. rigid-body dynamics
@@ -148,9 +164,57 @@ def physics_step(
         enable_capsule = True
 
     # ---- broadphase -> fixed-capacity neighbor lists --------------------
-    # (both paths prune pairs BEFORE the expensive manifold math; every
+    # (all paths prune pairs BEFORE the expensive manifold math; every
     # surviving pair appears mirrored in both bodies' rows for the
     # row-reduction solver)
+    if broadphase == "pallas":
+        # TPU-native stress path (driver config #2): Pallas blocked all-pairs
+        # AABB broadphase + transposed component-form narrowphase/solver
+        # (box-only: the scene census guarantees no solid capsules)
+        if enable_capsule:
+            raise ValueError(
+                "broadphase='pallas' is the box-only stress pipeline; this "
+                "scene has solid capsules (or a traced StaticScene) — use "
+                "broadphase='grid' or 'dense'"
+            )
+        from banggameengine_tpu.physics import contact_t
+        from banggameengine_tpu.physics.broadphase_pallas import (
+            neighbor_lists_pallas,
+        )
+
+        nl = neighbor_lists_pallas(
+            pos, quat, static.shape_type, static.shape_size,
+            solid, is_dynamic, static.layer, static.mask,
+            max_neighbors=min(max_neighbors, 8),
+            interpret=(jax.default_backend() == "cpu"),
+        )
+        ground_ok = (
+            is_dynamic & solid & jnp.asarray(static.ground_enabled)
+        )
+        (c_prt, c_ptx, c_pty, c_ptz, c_nx, c_ny, c_nz, c_dep, c_valid,
+         _ovf) = contact_t.box_contacts_t(
+            pos, quat, static.shape_size, nl.idx, nl.valid, ground_ok,
+            budget=CONTACT_BUDGET,
+        )
+        safe_p = jnp.maximum(c_prt, 0)
+        static_side = c_prt < 0
+        mu_t = jnp.where(
+            static_side,
+            static.friction[None, :] * GROUND_FRICTION,
+            static.friction[None, :] * static.friction[safe_p],
+        )
+        e_t = jnp.where(
+            static_side, 0.0,
+            static.restitution[None, :] * static.restitution[safe_p],
+        )
+        vel, ang = contact_t.solve_contacts_t(
+            vel, ang, pos, quat, static.inv_mass, static.inv_inertia_body,
+            c_prt, c_ptx, c_pty, c_ptz, c_nx, c_ny, c_nz, c_dep, c_valid,
+            mu_t, e_t, dt, iterations=solver_iterations,
+        )
+        return _finish_step(state, static, pos, quat, vel, ang,
+                            char_vel_y, char_on_ground, is_dynamic, moving,
+                            alive, has_collider, trigger_mode, dt)
     if broadphase == "dense":
         from banggameengine_tpu.physics.broadphase import (
             build_neighbor_lists_dense,
@@ -239,7 +303,15 @@ def physics_step(
         c_b, c_pt, c_n, c_d, c_valid, c_mu, c_e, dt,
         iterations=solver_iterations,
     )
+    return _finish_step(state, static, pos, quat, vel, ang,
+                        char_vel_y, char_on_ground, is_dynamic, moving,
+                        alive, has_collider, trigger_mode, dt)
 
+
+def _finish_step(state, static, pos, quat, vel, ang, char_vel_y,
+                 char_on_ground, is_dynamic, moving, alive, has_collider,
+                 trigger_mode, dt) -> tuple[WorldState, StepEvents]:
+    """Shared step tail: integrate, triggers, state assembly."""
     # semi-implicit Euler integrate dynamic AND kinematic bodies (kinematic
     # velocity is host-driven and persists across steps until changed)
     pos = jnp.where(moving[:, None], pos + vel * dt, pos)
@@ -254,17 +326,28 @@ def physics_step(
     # ------------------------------------------------------------------
     # 'aabb' matches the reference exactly (btPairCachingGhostObject reports
     # BROADPHASE pairs, PhysicsSystem.cpp:1028-1031); 'shape' is the exact
-    # shape-overlap variant
-    overlap_fn = (
-        tg.trigger_aabb_overlaps if trigger_mode == "aabb"
-        else tg.trigger_overlaps
-    )
-    overlap = overlap_fn(
-        static.trig_entity, static.trig_shape, static.trig_size,
-        static.trig_layer, static.trig_mask, state.trigger_active,
-        pos, quat, static.shape_type, static.shape_size,
-        static.layer, static.mask, alive, has_collider,
-    )
+    # shape-overlap variant.  Host-known census: scenes with no trigger
+    # slots in use skip the overlap sweep entirely.
+    try:
+        import numpy as _np
+
+        any_trig = bool((_np.asarray(static.trig_entity) >= 0).any())
+    except (jax.errors.TracerArrayConversionError,
+            jax.errors.ConcretizationTypeError):
+        any_trig = True
+    if any_trig:
+        overlap_fn = (
+            tg.trigger_aabb_overlaps if trigger_mode == "aabb"
+            else tg.trigger_overlaps
+        )
+        overlap = overlap_fn(
+            static.trig_entity, static.trig_shape, static.trig_size,
+            static.trig_layer, static.trig_mask, state.trigger_active,
+            pos, quat, static.shape_type, static.shape_size,
+            static.layer, static.mask, alive, has_collider,
+        )
+    else:
+        overlap = jnp.zeros_like(state.trigger_overlap)
     enter, stay, exit_, new_overlap, new_active = tg.diff_events(
         state.trigger_overlap, overlap, static.trig_one_shot, state.trigger_active
     )

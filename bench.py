@@ -120,9 +120,9 @@ def bench_demo(steps_per_dispatch=100):
     }
 
 
-def bench_stress(num_bodies=10000, steps_per_dispatch=20):
-    """Driver config #2: 10k falling rigid bodies, grid broadphase +
-    neighbor-list contact resolution, no rendering."""
+def bench_stress(num_bodies=10000, steps_per_dispatch=50):
+    """Driver config #2: 10k falling rigid bodies, Pallas blocked all-pairs
+    broadphase + transposed component-form contact pipeline, no rendering."""
     import jax
 
     from banggameengine_tpu.engine import make_multi_step_fn
@@ -131,8 +131,7 @@ def bench_stress(num_bodies=10000, steps_per_dispatch=20):
 
     state, static = build_falling_boxes(num_bodies)
     run = make_multi_step_fn(
-        static, steps_per_dispatch, broadphase="grid",
-        grid_cell_size=2.5, grid_table_size=16384, max_neighbors=8,
+        static, steps_per_dispatch, broadphase="pallas", max_neighbors=8,
     )
     inp = InputFrame.zero()
     times = []
