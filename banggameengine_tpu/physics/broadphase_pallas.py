@@ -34,6 +34,8 @@ BJ = 128   # candidate columns per inner chunk, lane axis
 
 
 def _neighbor_kernel(
+    # per-128-block AABB bounds [nblk, 8] in SMEM (minxyz, maxxyz, pad2)
+    blk,
     # row-oriented [N, 1] blocks (sublanes)
     rminx, rminy, rminz, rmaxx, rmaxy, rmaxz, rdyn, rlayer, rmask,
     # column-oriented [1, N] full rows (lanes)
@@ -44,6 +46,10 @@ def _neighbor_kernel(
 ):
     i = pl.program_id(0)
     row0 = i * BI
+
+    # this row block's union AABB (scalars)
+    bx0 = blk[i, 0]; by0 = blk[i, 1]; bz0 = blk[i, 2]
+    bx1 = blk[i, 3]; by1 = blk[i, 4]; bz1 = blk[i, 5]
 
     rx0 = rminx[:, 0:1]; ry0 = rminy[:, 0:1]; rz0 = rminz[:, 0:1]
     rx1 = rmaxx[:, 0:1]; ry1 = rmaxy[:, 0:1]; rz1 = rmaxz[:, 0:1]
@@ -68,57 +74,89 @@ def _neighbor_kernel(
     n_chunks = n // BJ
 
     def chunk(c, carry):
-        nb, filled, total = carry
-        sl = pl.ds(c * BJ, BJ)
-        cx0 = cminx[:, sl]; cy0 = cminy[:, sl]; cz0 = cminz[:, sl]
-        cx1 = cmaxx[:, sl]; cy1 = cmaxy[:, sl]; cz1 = cmaxz[:, sl]
-        cd = cdyn[:, sl]
-        cl = clayer[:, sl]
-        cm = cmask[:, sl]
+        def scan_chunk(carry):
+            nb, filled, total = carry
+            sl = pl.ds(c * BJ, BJ)
+            cx0 = cminx[:, sl]; cy0 = cminy[:, sl]; cz0 = cminz[:, sl]
+            cx1 = cmaxx[:, sl]; cy1 = cmaxy[:, sl]; cz1 = cmaxz[:, sl]
+            cd = cdyn[:, sl]
+            cl = clayer[:, sl]
+            cm = cmask[:, sl]
 
-        ov = (
-            (rx0 <= cx1) & (cx0 <= rx1)
-            & (ry0 <= cy1) & (cy0 <= ry1)
-            & (rz0 <= cz1) & (cz0 <= rz1)
+            ov = (
+                (rx0 <= cx1) & (cx0 <= rx1)
+                & (ry0 <= cy1) & (cy0 <= ry1)
+                & (rz0 <= cz1) & (cz0 <= rz1)
+            )
+            # rdyn/cdyn double as the 'solid' gate: -1 = not solid,
+            # 0 = solid static/kinematic, 1 = solid dynamic
+            ov &= (rd >= 0) & (cd >= 0)
+            ov &= (rd > 0) | (cd > 0)
+            ov &= ((rl & cm) != 0) & ((cl & rm) != 0)
+            col_ids = c * BJ + jax.lax.broadcasted_iota(
+                jnp.int32, (1, BJ), 1)
+            ov &= row_ids != col_ids
+
+            def insert(args):
+                nb, filled, total = args
+                # per-row stable compaction of this chunk's survivors
+                csum = jnp.dot(ov.astype(jnp.bfloat16), tri,
+                               preferred_element_type=jnp.float32
+                               ).astype(jnp.int32)
+                dest = filled + csum - 1
+                dest = jnp.where(ov, dest, -1)
+                cnt = jnp.sum(ov.astype(jnp.int32), axis=1, keepdims=True)
+                # slot-select: for each output slot s, at most one
+                # candidate maps
+                new = []
+                for s in range(k):
+                    sel = dest == s
+                    val = jnp.sum(jnp.where(sel, col_ids, 0), axis=1,
+                                  keepdims=True)
+                    hit = jnp.any(sel, axis=1, keepdims=True)
+                    new.append(jnp.where(hit, val, nb[s]))
+                return tuple(new), filled + cnt, total + cnt
+
+            # chunks with overlapping block bounds but no body overlaps
+            # still skip the prefix/insert
+            return jax.lax.cond(
+                jnp.any(ov), insert, lambda args: args, (nb, filled, total)
+            )
+
+        # block-level pruning: skip the whole 128x128 chunk when the two
+        # 128-body union AABBs don't intersect (a scalar SMEM test).  With
+        # spatially sorted bodies this rejects the vast majority of chunks.
+        hit = (
+            (bx0 <= blk[c, 3]) & (blk[c, 0] <= bx1)
+            & (by0 <= blk[c, 4]) & (blk[c, 1] <= by1)
+            & (bz0 <= blk[c, 5]) & (blk[c, 2] <= bz1)
         )
-        # rdyn/cdyn double as the 'solid' gate: -1 = not solid,
-        # 0 = solid static/kinematic, 1 = solid dynamic
-        ov &= (rd >= 0) & (cd >= 0)
-        ov &= (rd > 0) | (cd > 0)
-        ov &= ((rl & cm) != 0) & ((cl & rm) != 0)
-        col_ids = c * BJ + jax.lax.broadcasted_iota(jnp.int32, (1, BJ), 1)
-        ov &= row_ids != col_ids
-
-        def insert(args):
-            nb, filled, total = args
-            # per-row stable compaction of this chunk's survivors
-            csum = jnp.dot(ov.astype(jnp.bfloat16), tri,
-                           preferred_element_type=jnp.float32
-                           ).astype(jnp.int32)
-            dest = filled + csum - 1
-            dest = jnp.where(ov, dest, -1)
-            cnt = jnp.sum(ov.astype(jnp.int32), axis=1, keepdims=True)
-            # slot-select: for each output slot s, at most one candidate maps
-            new = []
-            for s in range(k):
-                sel = dest == s
-                val = jnp.sum(jnp.where(sel, col_ids, 0), axis=1,
-                              keepdims=True)
-                hit = jnp.any(sel, axis=1, keepdims=True)
-                new.append(jnp.where(hit, val, nb[s]))
-            return tuple(new), filled + cnt, total + cnt
-
-        # most chunk pairs have zero overlaps once worlds spread out — skip
-        # the prefix/insert entirely for them
-        return jax.lax.cond(
-            jnp.any(ov), insert, lambda args: args, (nb, filled, total)
-        )
+        return jax.lax.cond(hit, scan_chunk, lambda x: x, carry)
 
     nb, filled, total = jax.lax.fori_loop(
         0, n_chunks, chunk, (nb0, filled, total)
     )
     nb_ref[:, :] = jnp.concatenate(nb, axis=1)
     count_ref[:, :] = total
+
+
+def morton_key_xz(pos: Array, cell: float = 0.25) -> Array:
+    """Morton (z-order) key over the horizontal plane: interleaved 16-bit
+    quantized x/z.  Sorting bodies by this key makes 128-body blocks
+    spatially tight, which is what the kernel's block-AABB pruning feeds on
+    (ground-plane worlds spread in x/z; y adds little)."""
+    mn = jnp.min(pos, axis=0)
+    xi = jnp.clip(((pos[:, 0] - mn[0]) / cell).astype(jnp.int32), 0, 0xFFFF)
+    zi = jnp.clip(((pos[:, 2] - mn[2]) / cell).astype(jnp.int32), 0, 0xFFFF)
+
+    def spread(v):
+        v = (v | (v << 8)) & 0x00FF00FF
+        v = (v | (v << 4)) & 0x0F0F0F0F
+        v = (v | (v << 2)) & 0x33333333
+        v = (v | (v << 1)) & 0x55555555
+        return v
+
+    return spread(xi) | (spread(zi) << 1)
 
 
 @functools.partial(
@@ -142,16 +180,36 @@ def neighbor_lists_pallas(
     Returns the same NeighborLists contract as the grid path: idx i32[N,K]
     (-1 padded, ascending per row), valid bool[N,K], overflow counters.
     """
-    n = pos.shape[0]
-    pad = (-n) % BJ
     mn, mx = sh.shape_aabb(pos, quat, shape_type, size)
-    mn = mn - 0.5 * aabb_margin
-    mx = mx + 0.5 * aabb_margin
-
     # -1 = not solid; 0 = solid non-dynamic; 1 = solid dynamic
     dyn = jnp.where(solid, is_dynamic.astype(jnp.int32), -1)
-    layer_i = layer.astype(jnp.int32)
-    mask_i = mask.astype(jnp.int32)
+    return neighbor_lists_pallas_aabb(
+        mn, mx, dyn, layer.astype(jnp.int32), mask.astype(jnp.int32),
+        max_neighbors=max_neighbors, aabb_margin=aabb_margin,
+        interpret=interpret,
+    )
+
+
+@functools.partial(
+    jax.jit, static_argnames=("max_neighbors", "aabb_margin", "interpret")
+)
+def neighbor_lists_pallas_aabb(
+    mn: Array,             # f32[N,3] AABB min (no margin applied yet)
+    mx: Array,             # f32[N,3] AABB max
+    dyn: Array,            # i32[N]: -1 not solid, 0 solid static, 1 dynamic
+    layer_i: Array,        # i32[N]
+    mask_i: Array,         # i32[N]
+    max_neighbors: int = 8,
+    aabb_margin: float = 0.04,
+    interpret: bool = False,
+) -> NeighborLists:
+    """AABB-level entry: callers that already hold (possibly re-ordered)
+    AABBs skip the shape pass.  Indices in the result refer to the order of
+    the inputs."""
+    n = mn.shape[0]
+    pad = (-n) % BJ
+    mn = mn - 0.5 * aabb_margin
+    mx = mx + 0.5 * aabb_margin
 
     def prep(a, fill):
         if pad:
@@ -173,7 +231,25 @@ def neighbor_lists_pallas(
     rows = [c.reshape(npad, 1) for c in comps]       # sublane orientation
     cols = [c.reshape(1, npad) for c in comps]       # lane orientation
 
+    assert BI == BJ, "shared block bounds require square chunks"
+    nblk = npad // BI
+    # union AABB per 128-body block (pad rows are inverted-infinite and
+    # never extend a block, so all-pad blocks are skipped by every test)
+    blk = jnp.stack(
+        [comps[0].reshape(nblk, BI).min(1),
+         comps[1].reshape(nblk, BI).min(1),
+         comps[2].reshape(nblk, BI).min(1),
+         comps[3].reshape(nblk, BI).max(1),
+         comps[4].reshape(nblk, BI).max(1),
+         comps[5].reshape(nblk, BI).max(1),
+         jnp.zeros(nblk, jnp.float32), jnp.zeros(nblk, jnp.float32)],
+        axis=1,
+    )
+
     grid = (npad // BI,)
+    blk_spec = pl.BlockSpec(
+        (nblk, 8), lambda i: (0, 0), memory_space=pltpu.SMEM
+    )
     row_spec = [
         pl.BlockSpec((BI, 1), lambda i: (i, 0), memory_space=pltpu.VMEM)
         for _ in rows
@@ -186,7 +262,7 @@ def neighbor_lists_pallas(
     nb, counts = pl.pallas_call(
         functools.partial(_neighbor_kernel, n=npad, k=k),
         grid=grid,
-        in_specs=row_spec + col_spec,
+        in_specs=[blk_spec] + row_spec + col_spec,
         out_specs=(
             pl.BlockSpec((BI, k), lambda i: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((BI, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
@@ -196,7 +272,7 @@ def neighbor_lists_pallas(
             jax.ShapeDtypeStruct((npad, 1), jnp.int32),
         ),
         interpret=interpret,
-    )(*rows, *cols)
+    )(blk, *rows, *cols)
 
     nb = nb[:n]
     counts = counts[:n, 0]

@@ -86,10 +86,17 @@ def box_contacts_t(
     ok_t = nb_valid.T
     safe = jnp.maximum(idx_t, 0)
 
-    # partner components, gathered once: [K,N]
-    qbx, qby, qbz = px[safe], py[safe], pz[safe]
-    gx, gy, gz = hx[safe], hy[safe], hz[safe]
-    b = tuple(c[safe] for c in a)           # b[3*i+j] = Rb[i][j], [K,N]
+    # partner components in ONE contiguous gather: XLA lowers x[safe] per
+    # array to a scalar gather (~0.8 ms each at N=10k on v5e); packing all
+    # 16 partner attributes into [N,16] and gathering once rides the
+    # minor-dim fast path (measured ~10x cheaper than 15 separate gathers)
+    packed = jnp.stack(
+        [px, py, pz, hx, hy, hz] + list(a)
+        + [jnp.zeros_like(px)], axis=-1)                # [N,16]
+    g = packed[safe]                                    # [K,N,16]
+    qbx, qby, qbz = g[..., 0], g[..., 1], g[..., 2]
+    gx, gy, gz = g[..., 3], g[..., 4], g[..., 5]
+    b = tuple(g[..., 6 + i] for i in range(9))          # Rb comps, [K,N]
 
     # ---- SAT: 15 axes, component form ---------------------------------
     # R = Ra^T Rb  (r[i][j] = sum_k Ra[k][i] Rb[k][j]), [K,N]
@@ -334,7 +341,8 @@ def _sym_mul(i6, vx, vy, vz):
             i02 * vx + i12 * vy + i22 * vz)
 
 
-@functools.partial(jax.jit, static_argnames=("iterations",))
+@functools.partial(
+    jax.jit, static_argnames=("iterations", "ground_friction"))
 def solve_contacts_t(
     vel: Array,        # f32[N,3]
     ang: Array,        # f32[N,3]
@@ -343,9 +351,10 @@ def solve_contacts_t(
     inv_m: Array,      # f32[N]
     inv_inertia_body: Array,  # f32[N,3]
     c_prt, c_ptx, c_pty, c_ptz, c_nx, c_ny, c_nz, c_dep, c_valid,
-    c_mu, c_e,         # [C,N]
+    friction, restitution,    # [N] material params (mu/e derived per pair)
     dt,
     iterations: int = 10,
+    ground_friction: float = 0.5,
 ):
     """Transposed image of :func:`solver.solve_contacts_unified` (same
     mass-splitting Jacobi scheme, same constants); returns (vel, ang)."""
@@ -357,12 +366,31 @@ def solve_contacts_t(
     is_static = c_prt < 0
     safe = jnp.maximum(c_prt, 0)
 
+    # all iteration-invariant partner attributes in ONE contiguous gather
+    # (12 features; XLA's per-array scalar gather costs ~0.8 ms each at
+    # N=10k on v5e, the packed minor-dim gather ~0.1 ms total)
+    ia = _inertia_world_comps(quat, inv_inertia_body)       # 6 x [N]
+    setup_pack = jnp.stack(
+        [px, py, pz, inv_m, friction, restitution, *ia,
+         jnp.zeros_like(px), jnp.zeros_like(px),
+         jnp.zeros_like(px), jnp.zeros_like(px)], axis=-1)  # [N,16]
+    gp = setup_pack[safe]                                   # [C,N,16]
+
     rax = c_ptx - px[None]
     ray = c_pty - py[None]
     raz = c_ptz - pz[None]
-    rbx = c_ptx - px[safe]
-    rby = c_pty - py[safe]
-    rbz = c_ptz - pz[safe]
+    rbx = c_ptx - gp[..., 0]
+    rby = c_pty - gp[..., 1]
+    rbz = c_ptz - gp[..., 2]
+
+    c_mu = jnp.where(
+        is_static,
+        friction[None, :] * ground_friction,
+        friction[None, :] * gp[..., 4],
+    )
+    c_e = jnp.where(
+        is_static, 0.0, restitution[None, :] * gp[..., 5],
+    )
 
     # orthonormal tangents (same branchless helper as the general solver)
     use_x = jnp.abs(c_nx) < 0.7
@@ -373,11 +401,11 @@ def solve_contacts_t(
     t1x, t1y, t1z = t1x / t1n, t1y / t1n, t1z / t1n
     t2x, t2y, t2z = _cross(c_nx, c_ny, c_nz, t1x, t1y, t1z)
 
-    ia = _inertia_world_comps(quat, inv_inertia_body)       # 6 x [N]
     ia_c = tuple(c[None] for c in ia)                       # broadcast [1,N]
-    ib = tuple(jnp.where(is_static, 0.0, c[safe]) for c in ia)
+    ib = tuple(
+        jnp.where(is_static, 0.0, gp[..., 6 + i]) for i in range(6))
     im_a = inv_m[None]
-    im_b = jnp.where(is_static, 0.0, inv_m[safe])
+    im_b = jnp.where(is_static, 0.0, gp[..., 3])
 
     def k_along(dx, dy, dz):
         cxa, cya, cza = _cross(rax, ray, raz, dx, dy, dz)

@@ -178,40 +178,65 @@ def physics_step(
                 "broadphase='grid' or 'dense'"
             )
         from banggameengine_tpu.physics import contact_t
+        from banggameengine_tpu.physics import shapes as sh_mod
         from banggameengine_tpu.physics.broadphase_pallas import (
-            neighbor_lists_pallas,
+            morton_key_xz, neighbor_lists_pallas_aabb,
         )
 
-        nl = neighbor_lists_pallas(
-            pos, quat, static.shape_type, static.shape_size,
-            solid, is_dynamic, static.layer, static.mask,
+        # The whole contact phase runs in Morton-sorted space: the argsort
+        # is ~0.04 ms at N=10k while giving the broadphase kernel's
+        # block-AABB pruning near-perfect locality (most of the 128x128
+        # chunk scans are skipped).  One packed gather carries every
+        # per-body attribute into sorted order; only vel/ang come back
+        # (pos/quat are read-only here).
+        order = jnp.argsort(morton_key_xz(pos))
+        mn, mx = sh_mod.shape_aabb(
+            pos, quat, static.shape_type, static.shape_size)
+        dyn_flag = jnp.where(solid, is_dynamic.astype(jnp.int32), -1)
+
+        def bits(a):
+            return jax.lax.bitcast_convert_type(
+                a.astype(jnp.int32), jnp.float32)
+
+        feat = jnp.concatenate(
+            [mn, mx, pos, quat, vel, ang, static.shape_size,
+             static.inv_mass[:, None], static.inv_inertia_body,
+             static.friction[:, None], static.restitution[:, None],
+             bits(dyn_flag)[:, None], bits(static.layer)[:, None],
+             bits(static.mask)[:, None],
+             jnp.zeros((n, 1), jnp.float32)], axis=1)       # [N, 32]
+        sf = feat[order]
+
+        def ints(a):
+            return jax.lax.bitcast_convert_type(a, jnp.int32)
+
+        pos_s, quat_s = sf[:, 6:9], sf[:, 9:13]
+        vel_s, ang_s = sf[:, 13:16], sf[:, 16:19]
+        half_s = sf[:, 19:22]
+        inv_m_s, inertia_s = sf[:, 22], sf[:, 23:26]
+        fric_s, rest_s = sf[:, 26], sf[:, 27]
+        dyn_s = ints(sf[:, 28])
+
+        nl = neighbor_lists_pallas_aabb(
+            sf[:, 0:3], sf[:, 3:6], dyn_s, ints(sf[:, 29]), ints(sf[:, 30]),
             max_neighbors=min(max_neighbors, 8),
             interpret=(jax.default_backend() == "cpu"),
         )
-        ground_ok = (
-            is_dynamic & solid & jnp.asarray(static.ground_enabled)
-        )
+        ground_ok_s = (dyn_s > 0) & jnp.asarray(static.ground_enabled)
         (c_prt, c_ptx, c_pty, c_ptz, c_nx, c_ny, c_nz, c_dep, c_valid,
          _ovf) = contact_t.box_contacts_t(
-            pos, quat, static.shape_size, nl.idx, nl.valid, ground_ok,
+            pos_s, quat_s, half_s, nl.idx, nl.valid, ground_ok_s,
             budget=CONTACT_BUDGET,
         )
-        safe_p = jnp.maximum(c_prt, 0)
-        static_side = c_prt < 0
-        mu_t = jnp.where(
-            static_side,
-            static.friction[None, :] * GROUND_FRICTION,
-            static.friction[None, :] * static.friction[safe_p],
-        )
-        e_t = jnp.where(
-            static_side, 0.0,
-            static.restitution[None, :] * static.restitution[safe_p],
-        )
-        vel, ang = contact_t.solve_contacts_t(
-            vel, ang, pos, quat, static.inv_mass, static.inv_inertia_body,
+        vel_s, ang_s = contact_t.solve_contacts_t(
+            vel_s, ang_s, pos_s, quat_s, inv_m_s, inertia_s,
             c_prt, c_ptx, c_pty, c_ptz, c_nx, c_ny, c_nz, c_dep, c_valid,
-            mu_t, e_t, dt, iterations=solver_iterations,
+            fric_s, rest_s, dt,
+            iterations=solver_iterations, ground_friction=GROUND_FRICTION,
         )
+        out = jnp.concatenate([vel_s, ang_s], axis=1)
+        out = jnp.zeros((n, 6), jnp.float32).at[order].set(out)
+        vel, ang = out[:, 0:3], out[:, 3:6]
         return _finish_step(state, static, pos, quat, vel, ang,
                             char_vel_y, char_on_ground, is_dynamic, moving,
                             alive, has_collider, trigger_mode, dt)

@@ -1,151 +1,169 @@
-"""Stage-by-stage timing of the 10k-body stress step on the real TPU.
+"""Stage-marginal timing of the 10k-body stress pipeline on the real chip.
 
-Times each pipeline stage in isolation (own jit, block_until_ready) plus the
-fused full step, to locate the bottleneck. Not a driver config — a dev tool.
+Dispatch overhead through the axon tunnel is ~30 ms, so single-dispatch
+stage timings are useless.  Instead: run 50-step scans of pipeline variants
+with later stages disabled (outputs kept alive through a cheap dependence so
+XLA cannot DCE the earlier stages), and report marginal per-step costs.
 
-Usage: python scripts/profile_stress.py [N] [--cpu]
+Variants:
+  integrate   — no broadphase/contacts/solve, just gravity+integrate
+  +broadphase — broadphase kept alive, contacts/solve skipped
+  +contacts   — broadphase+narrowphase+compaction, solve skipped
+  +solve(1)   — one solver iteration
+  +solve(10)  — the full pipeline (should match bench.py stress)
+
+Usage: python scripts/profile_stress.py [N] [settle_steps]
 """
 
+from __future__ import annotations
+
+import os
 import sys
 import time
 
-N = int(sys.argv[1]) if len(sys.argv) > 1 and sys.argv[1].isdigit() else 10000
-if "--cpu" in sys.argv:
-    import os
-    os.environ["JAX_PLATFORMS"] = "cpu"
-    import jax
-    jax.config.update("jax_platforms", "cpu")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 import jax.numpy as jnp
 
-from banggameengine_tpu.physics import narrowphase as nf
-from banggameengine_tpu.physics import solver as sv
-from banggameengine_tpu.physics.broadphase import build_neighbor_lists
+from banggameengine_tpu import math3d
+from banggameengine_tpu.physics import contact_t
+from banggameengine_tpu.physics.broadphase_pallas import neighbor_lists_pallas
 from banggameengine_tpu.physics.step import CONTACT_BUDGET, physics_step
 from banggameengine_tpu.scene.synthetic import build_falling_boxes
-from banggameengine_tpu.state import BODY_DYNAMIC, COMP_CHARACTER, COMP_COLLIDER, InputFrame
+from banggameengine_tpu.state import BODY_DYNAMIC, InputFrame
 
-state, static = build_falling_boxes(N)
-print(f"platform={jax.devices()[0].platform} N={state.capacity}", flush=True)
-
-# settle some steps so there are real contacts
-step20 = jax.jit(lambda s, i: _scan_steps(s, i))
+STEPS = 50
 
 
-def _scan_steps(s, i):
-    def body(c, _):
-        out, _ = physics_step(c, i, static, broadphase="grid",
-                              grid_cell_size=2.5, grid_table_size=16384,
-                              max_neighbors=8)
-        return out, None
-    out, _ = jax.lax.scan(body, s, None, length=10)
-    return out
-
-
-inp = InputFrame.zero()
-t0 = time.perf_counter()
-state = step20(state, inp)
-jax.block_until_ready(state)
-print(f"compile+settle 10 steps: {time.perf_counter()-t0:.1f}s", flush=True)
-for _ in range(11):  # ~1s sim: plenty of resting contacts
-    state = step20(state, inp)
-jax.block_until_ready(state)
-
-alive = state.alive
-solid = alive & ((state.comp_mask & (COMP_COLLIDER | COMP_CHARACTER)) != 0)
-is_dyn = (static.body_type == BODY_DYNAMIC) & alive
-
-
-def timeit(name, fn, *args, reps=5):
-    out = fn(*args)
-    jax.block_until_ready(out)
-    ts = []
-    for _ in range(reps):
-        t0 = time.perf_counter()
-        out = fn(*args)
-        jax.block_until_ready(out)
-        ts.append(time.perf_counter() - t0)
-    ts.sort()
-    print(f"{name:34s} {ts[len(ts)//2]*1e3:8.2f} ms", flush=True)
-    return out
-
-
-# --- stage 1: broadphase ---------------------------------------------------
-bp = jax.jit(lambda p, q: build_neighbor_lists(
-    p, q, static.shape_type, static.shape_size, active=solid,
-    cell_size=2.5, table_size=16384, cell_capacity=8, max_neighbors=8))
-nl = timeit("broadphase grid+compact", bp, state.pos, state.quat)
-print(f"  valid neighbor entries: {int(jnp.sum(nl.valid))}", flush=True)
-
-# --- stage 2: narrowphase on neighbor lists --------------------------------
-safe_j = jnp.maximum(nl.idx, 0)
-
-
-def narrow(p, q):
-    return nf.pair_contacts(
-        p[:, None], q[:, None],
-        static.shape_type[:, None], static.shape_size[:, None],
-        p[safe_j], q[safe_j],
-        static.shape_type[safe_j], static.shape_size[safe_j],
-        enable_capsule=False,
+def make_variant(static, stage: str, iters: int = 10):
+    """Mirrors physics_step's sorted-space pallas branch, stage-gated."""
+    from banggameengine_tpu.physics import shapes as sh_mod
+    from banggameengine_tpu.physics.broadphase_pallas import (
+        morton_key_xz, neighbor_lists_pallas_aabb,
     )
 
+    dt = static.fixed_dt
+    gvec = jnp.asarray([0.0, 1.0, 0.0], jnp.float32)
 
-np_out = timeit("narrowphase SAT manifolds", jax.jit(narrow), state.pos, state.quat)
-p_point, p_normal, p_depth, p_gvalid = np_out
+    def one(state, _):
+        pos, quat = state.pos, state.quat
+        vel, ang = state.lin_vel, state.ang_vel
+        alive = state.alive
+        n = pos.shape[0]
+        is_dyn = (static.body_type == BODY_DYNAMIC) & alive
+        vel = jnp.where(is_dyn[:, None], vel + gvec * static.gravity * dt, vel)
 
-# --- stage 3: ground + fold + compaction ------------------------------------
-def compact(p, q):
-    pp, pn, pd, pg = narrow(p, q)
-    pv = pg & (pd > 0.0) & nl.valid[..., None]
-    partner = jnp.broadcast_to(nl.idx[:, :, None], pd.shape)
-    n = p.shape[0]
-    m_pair = pd.shape[1] * pd.shape[2]
-    gp, gn, gd, gv = nf.ground_contacts(p, q, static.shape_type, static.shape_size)
-    gv = gv & (gd > 0.0) & is_dyn[:, None]
-    all_b = jnp.concatenate([partner.reshape(n, m_pair),
-                             jnp.full((n, nf.K_GROUND), -1, jnp.int32)], 1)
-    all_pt = jnp.concatenate([pp.reshape(n, m_pair, 3), gp], 1)
-    all_n = jnp.concatenate([pn.reshape(n, m_pair, 3), gn], 1)
-    all_d = jnp.concatenate([pd.reshape(n, m_pair), gd], 1)
-    all_v = jnp.concatenate([pv.reshape(n, m_pair), gv], 1)
-    return sv.compact_contacts(all_b, all_pt, all_n, all_d, all_v, CONTACT_BUDGET)
+        if stage != "integrate":
+            order = jnp.argsort(morton_key_xz(pos))
+            mn, mx = sh_mod.shape_aabb(
+                pos, quat, static.shape_type, static.shape_size)
+            dyn_flag = jnp.where(alive, is_dyn.astype(jnp.int32), -1)
+
+            def bits(a):
+                return jax.lax.bitcast_convert_type(
+                    a.astype(jnp.int32), jnp.float32)
+
+            feat = jnp.concatenate(
+                [mn, mx, pos, quat, vel, ang, static.shape_size,
+                 static.inv_mass[:, None], static.inv_inertia_body,
+                 static.friction[:, None], static.restitution[:, None],
+                 bits(dyn_flag)[:, None], bits(static.layer)[:, None],
+                 bits(static.mask)[:, None],
+                 jnp.zeros((n, 1), jnp.float32)], axis=1)
+            sf = feat[order]
+
+            def ints(a):
+                return jax.lax.bitcast_convert_type(a, jnp.int32)
+
+            pos_s, quat_s = sf[:, 6:9], sf[:, 9:13]
+            vel_s, ang_s = sf[:, 13:16], sf[:, 16:19]
+            dyn_s = ints(sf[:, 28])
+            nl = neighbor_lists_pallas_aabb(
+                sf[:, 0:3], sf[:, 3:6], dyn_s, ints(sf[:, 29]),
+                ints(sf[:, 30]), max_neighbors=8)
+            if stage == "broadphase":
+                vel = vel + 1e-30 * jnp.sum(nl.idx).astype(jnp.float32)
+            else:
+                ground_ok = dyn_s > 0
+                (c_prt, c_ptx, c_pty, c_ptz, c_nx, c_ny, c_nz, c_dep,
+                 c_valid, _ovf) = contact_t.box_contacts_t(
+                    pos_s, quat_s, sf[:, 19:22], nl.idx, nl.valid,
+                    ground_ok, budget=CONTACT_BUDGET)
+                if stage == "contacts":
+                    vel = vel + 1e-30 * (jnp.sum(c_dep)
+                                         + jnp.sum(c_prt).astype(jnp.float32))
+                else:
+                    vel_s, ang_s = contact_t.solve_contacts_t(
+                        vel_s, ang_s, pos_s, quat_s, sf[:, 22], sf[:, 23:26],
+                        c_prt, c_ptx, c_pty, c_ptz, c_nx, c_ny, c_nz,
+                        c_dep, c_valid, sf[:, 26], sf[:, 27],
+                        dt, iterations=iters)
+                    out = jnp.concatenate([vel_s, ang_s], axis=1)
+                    out = jnp.zeros((n, 6), jnp.float32).at[order].set(out)
+                    vel, ang = out[:, 0:3], out[:, 3:6]
+
+        pos = jnp.where(is_dyn[:, None], pos + vel * dt, pos)
+        quat = jnp.where(is_dyn[:, None],
+                         math3d.quat_integrate(quat, ang, dt), quat)
+        import dataclasses
+        return dataclasses.replace(
+            state, pos=pos, quat=quat, lin_vel=vel, ang_vel=ang), None
+
+    @jax.jit
+    def run(state):
+        out, _ = jax.lax.scan(one, state, None, length=STEPS)
+        return out
+
+    return run
 
 
-cb, cpt, cn, cd, cvalid, _ovf = timeit("narrow+ground+compact", jax.jit(compact),
-                                       state.pos, state.quat)[:6]
-print(f"  compacted contacts: {int(jnp.sum(cvalid))}", flush=True)
-
-# --- stage 4: solver 10 iterations ------------------------------------------
-safe_b = jnp.maximum(cb, 0)
-mu = jnp.where(cb < 0, static.friction[:, None] * 0.5,
-               static.friction[:, None] * static.friction[safe_b])
-e = jnp.zeros_like(mu)
-
-
-def solve(v, w, p, q):
-    inv_i_w = sv.inv_inertia_world(q, static.inv_inertia_body)
-    return sv.solve_contacts_unified(
-        v, w, p, static.inv_mass, inv_i_w,
-        cb, cpt, cn, cd, cvalid, mu, e, jnp.float32(1 / 120), iterations=10)
-
-
-timeit("solver x10 iters", jax.jit(solve), state.lin_vel, state.ang_vel,
-       state.pos, state.quat)
-
-# --- full fused step ---------------------------------------------------------
-full = jax.jit(lambda s, i: physics_step(
-    s, i, static, broadphase="grid", grid_cell_size=2.5,
-    grid_table_size=16384, max_neighbors=8)[0])
-timeit("FULL fused physics_step", full, state, inp)
-
-# --- broadphase internals ----------------------------------------------------
-def bp_sort_only(p):
-    cells = jnp.floor(p / 2.5).astype(jnp.int32)
-    h = ((cells[..., 0] * 73856093) ^ (cells[..., 1] * 19349663)
-         ^ (cells[..., 2] * 83492791)) % 16384
-    return jnp.argsort(jnp.where(solid, h, 16384))
+def timeit(name, fn, state, reps=3):
+    t_compile0 = time.perf_counter()
+    out = fn(state)
+    jax.block_until_ready(out)
+    t_compile = time.perf_counter() - t_compile0
+    times = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        out = fn(state)
+        jax.block_until_ready(out)
+        times.append(time.perf_counter() - t0)
+    times.sort()
+    med = times[len(times) // 2] / STEPS * 1e3
+    print(f"{name:12s} {med:8.3f} ms/step   (compile {t_compile:.1f}s)")
+    return med
 
 
-timeit("  argsort(hashes) alone", jax.jit(bp_sort_only), state.pos)
+def main():
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 10000
+    settle = int(sys.argv[2]) if len(sys.argv) > 2 else 200
+    state, static = build_falling_boxes(n)
+    inp = InputFrame.zero()
+
+    step1 = jax.jit(lambda s: physics_step(
+        s, inp, static, broadphase="pallas", max_neighbors=8)[0])
+    for _ in range(settle):
+        state = step1(state)
+    jax.block_until_ready(state)
+    print(f"N={n}, settled {settle} steps; "
+          f"mean |vel|={float(jnp.mean(jnp.abs(state.lin_vel))):.3f}")
+
+    t0 = timeit("integrate", make_variant(static, "integrate"), state)
+    t1 = timeit("+broadphase", make_variant(static, "broadphase"), state)
+    t2 = timeit("+contacts", make_variant(static, "contacts"), state)
+    tz = timeit("+solve(0)", make_variant(static, "solve", iters=0), state)
+    t3 = timeit("+solve(1)", make_variant(static, "solve", iters=1), state)
+    t5 = timeit("+solve(5)", make_variant(static, "solve", iters=5), state)
+    t4 = timeit("+solve(10)", make_variant(static, "solve", iters=10), state)
+    print("--- marginals ---")
+    print(f"broadphase   {t1 - t0:8.3f} ms/step")
+    print(f"contacts     {t2 - t1:8.3f} ms/step")
+    print(f"solve setup  {tz - t2:8.3f} ms/step (0 iters)")
+    print(f"iter 0->1    {t3 - tz:8.3f}   1->5 {(t5 - t3) / 4:8.3f}/it   "
+          f"5->10 {(t4 - t5) / 5:8.3f}/it")
+    print(f"total        {t4:8.3f} ms/step -> {1e3 / t4:.1f} steps/s")
+
+
+if __name__ == "__main__":
+    main()

@@ -124,16 +124,11 @@ def test_solve_t_matches_general_solver():
         contact_t.box_contacts_t(pos, quat, static.shape_size,
                                  nl.idx, nl.valid, ground_ok,
                                  budget=CONTACT_BUDGET))
-    safe_p = jnp.maximum(c_prt, 0)
-    static_side = c_prt < 0
-    mu_t = jnp.where(static_side, static.friction[None, :] * GROUND_FRICTION,
-                     static.friction[None, :] * static.friction[safe_p])
-    e_t = jnp.where(static_side, 0.0,
-                    static.restitution[None, :] * static.restitution[safe_p])
     v_t, w_t = contact_t.solve_contacts_t(
         vel, ang, pos, quat, static.inv_mass, static.inv_inertia_body,
-        c_prt, cx, cy, cz, cnx, cny, cnz, c_dep, c_valid, mu_t, e_t, dt,
-        iterations=10,
+        c_prt, cx, cy, cz, cnx, cny, cnz, c_dep, c_valid,
+        static.friction, static.restitution, dt,
+        iterations=10, ground_friction=GROUND_FRICTION,
     )
 
     # general path on the same neighbor lists
