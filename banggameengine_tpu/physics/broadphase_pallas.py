@@ -29,8 +29,12 @@ from banggameengine_tpu.physics.broadphase import NeighborLists
 
 Array = jax.Array
 
-BI = 128   # rows (bodies) per program, sublane axis
-BJ = 128   # candidate columns per inner chunk, lane axis
+BI = 128    # rows (bodies) per program, sublane axis
+BJ = 1024   # candidate columns per inner chunk, lane axis.  Wide chunks
+# amortize the per-chunk fixed cost (loads, cond machinery, the slot-select
+# loop): measured at N=10k on v5e, BJ 128 -> 1024 cuts the kernel 4.1 ->
+# 1.4 ms/step.  Block-bound pruning stays at BI=128 granularity (a chunk is
+# scanned when ANY of its BJ/BI sub-blocks overlaps the row block).
 
 
 def _neighbor_kernel(
@@ -123,14 +127,18 @@ def _neighbor_kernel(
                 jnp.any(ov), insert, lambda args: args, (nb, filled, total)
             )
 
-        # block-level pruning: skip the whole 128x128 chunk when the two
-        # 128-body union AABBs don't intersect (a scalar SMEM test).  With
-        # spatially sorted bodies this rejects the vast majority of chunks.
-        hit = (
-            (bx0 <= blk[c, 3]) & (blk[c, 0] <= bx1)
-            & (by0 <= blk[c, 4]) & (blk[c, 1] <= by1)
-            & (bz0 <= blk[c, 5]) & (blk[c, 2] <= bz1)
-        )
+        # block-level pruning: skip the whole BI x BJ chunk when none of its
+        # BI-body sub-block union AABBs intersects this row block's (scalar
+        # SMEM tests).  With spatially sorted bodies this rejects the vast
+        # majority of chunks.
+        hit = jnp.zeros((), bool)
+        for rr in range(BJ // BI):
+            cb = c * (BJ // BI) + rr
+            hit |= (
+                (bx0 <= blk[cb, 3]) & (blk[cb, 0] <= bx1)
+                & (by0 <= blk[cb, 4]) & (blk[cb, 1] <= by1)
+                & (bz0 <= blk[cb, 5]) & (blk[cb, 2] <= bz1)
+            )
         return jax.lax.cond(hit, scan_chunk, lambda x: x, carry)
 
     nb, filled, total = jax.lax.fori_loop(
@@ -231,7 +239,7 @@ def neighbor_lists_pallas_aabb(
     rows = [c.reshape(npad, 1) for c in comps]       # sublane orientation
     cols = [c.reshape(1, npad) for c in comps]       # lane orientation
 
-    assert BI == BJ, "shared block bounds require square chunks"
+    assert BJ % BI == 0, "chunk width must be a multiple of the row block"
     nblk = npad // BI
     # union AABB per 128-body block (pad rows are inverted-infinite and
     # never extend a block, so all-pad blocks are skipped by every test)

@@ -116,30 +116,32 @@ def box_contacts_t(
     bnx = jnp.zeros(idx_t.shape, jnp.float32)
     bny = jnp.zeros(idx_t.shape, jnp.float32)
     bnz = jnp.zeros(idx_t.shape, jnp.float32)
+    best_ax = jnp.zeros(idx_t.shape, jnp.int32)
     separated = jnp.zeros(idx_t.shape, bool)
 
-    def consider(ov, axx, axy, axz, axis_ok, best):
-        best_d, bnx, bny, bnz, separated = best
+    def consider(ov, axx, axy, axz, axis_ok, axis_id, best):
+        best_d, bnx, bny, bnz, best_ax, separated = best
         separated = separated | (axis_ok & (ov < 0.0))
         take = axis_ok & (ov < best_d)
         best_d = jnp.where(take, ov, best_d)
         bnx = jnp.where(take, axx, bnx)
         bny = jnp.where(take, axy, bny)
         bnz = jnp.where(take, axz, bnz)
-        return best_d, bnx, bny, bnz, separated
+        best_ax = jnp.where(take, axis_id, best_ax)
+        return best_d, bnx, bny, bnz, best_ax, separated
 
-    best = (best_d, bnx, bny, bnz, separated)
+    best = (best_d, bnx, bny, bnz, best_ax, separated)
     ones = jnp.ones(idx_t.shape, bool)
     for i in range(3):      # A face axes (world = Ra column i)
         ov = (ha[i] + hb[0] * ar[i][0] + hb[1] * ar[i][1] + hb[2] * ar[i][2]
               - jnp.abs(ta[i]))
         best = consider(ov, a[0 + i][None] * jnp.ones_like(ov),
                         a[3 + i][None] * jnp.ones_like(ov),
-                        a[6 + i][None] * jnp.ones_like(ov), ones, best)
+                        a[6 + i][None] * jnp.ones_like(ov), ones, i, best)
     for j in range(3):      # B face axes (world = Rb column j)
         ov = (ha[0] * ar[0][j] + ha[1] * ar[1][j] + ha[2] * ar[2][j] + hb[j]
               - jnp.abs(tb[j]))
-        best = consider(ov, b[0 + j], b[3 + j], b[6 + j], ones, best)
+        best = consider(ov, b[0 + j], b[3 + j], b[6 + j], ones, 3 + j, best)
     for i in range(3):      # cross axes A_i x B_j
         i1, i2 = (i + 1) % 3, (i + 2) % 3
         for j in range(3):
@@ -157,8 +159,8 @@ def box_contacts_t(
                 b[0 + j], b[3 + j], b[6 + j],
             )
             best = consider(ov, cx * inv_ln, cy * inv_ln, cz * inv_ln,
-                            axis_ok, best)
-    sat_d, bnx, bny, bnz, separated = best
+                            axis_ok, 6 + 3 * i + j, best)
+    sat_d, bnx, bny, bnz, best_ax, separated = best
 
     # orient the normal from b toward a: axis . (-t) > 0
     sgn = jnp.sign(-(bnx * twx + bny * twy + bnz * twz))
@@ -234,61 +236,150 @@ def box_contacts_t(
         slots_valid.append(v)
         any_corner |= v
 
-    # SAT-center fallback (edge-edge): midpoint of the +/-n support points
+    # Slot 16 — the non-corner contact.  When the winning axis is a cross
+    # axis A_i x B_j the touching features are edges: compute their actual
+    # closest points (mirrors narrowphase.pair_contacts' edge-edge path);
+    # face-axis winners with no corner keep the support-midpoint fallback.
     na0 = a[0][None] * bnx + a[3] * bny + a[6] * bnz   # Ra^T n comps
     na1 = a[1][None] * bnx + a[4] * bny + a[7] * bnz
     na2 = a[2][None] * bnx + a[5] * bny + a[8] * bnz
-    sa0, sa1, sa2 = (_sign_eps(na0) * ha[0], _sign_eps(na1) * ha[1],
-                     _sign_eps(na2) * ha[2])
+    sg_a = (_sign_eps(na0), _sign_eps(na1), _sign_eps(na2))
+    sa0, sa1, sa2 = sg_a[0] * ha[0], sg_a[1] * ha[1], sg_a[2] * ha[2]
     supax = px - (a[0] * sa0 + a[1] * sa1 + a[2] * sa2)
     supay = py - (a[3] * sa0 + a[4] * sa1 + a[5] * sa2)
     supaz = pz - (a[6] * sa0 + a[7] * sa1 + a[8] * sa2)
     nb0 = b[0] * bnx + b[3] * bny + b[6] * bnz
     nb1 = b[1] * bnx + b[4] * bny + b[7] * bnz
     nb2 = b[2] * bnx + b[5] * bny + b[8] * bnz
-    sb0, sb1, sb2 = (_sign_eps(nb0) * hb[0], _sign_eps(nb1) * hb[1],
-                     _sign_eps(nb2) * hb[2])
+    sg_b = (_sign_eps(nb0), _sign_eps(nb1), _sign_eps(nb2))
+    sb0, sb1, sb2 = sg_b[0] * hb[0], sg_b[1] * hb[1], sg_b[2] * hb[2]
     supbx = qbx + (b[0] * sb0 + b[1] * sb1 + b[2] * sb2)
     supby = qby + (b[3] * sb0 + b[4] * sb1 + b[5] * sb2)
     supbz = qbz + (b[6] * sb0 + b[7] * sb1 + b[8] * sb2)
-    slots_pt.append((0.5 * (supax + supbx), 0.5 * (supay + supby),
-                     0.5 * (supaz + supbz)))
+
+    is_edge = best_ax >= 6
+    ei = jnp.clip((best_ax - 6) // 3, 0, 2)
+    ej = jnp.clip((best_ax - 6) % 3, 0, 2)
+
+    def pick(comps3, sel):
+        return jnp.where(sel == 0, comps3[0],
+                         jnp.where(sel == 1, comps3[1], comps3[2]))
+
+    # edge directions: column ei of Ra, column ej of Rb (components;
+    # the [N] Ra comps broadcast against the [K,N] selector)
+    uax = pick((a[0][None], a[1][None], a[2][None]), ei)
+    uay = pick((a[3][None], a[4][None], a[5][None]), ei)
+    uaz = pick((a[6][None], a[7][None], a[8][None]), ei)
+    ubx = pick((b[0], b[1], b[2]), ej)
+    uby = pick((b[3], b[4], b[5]), ej)
+    ubz = pick((b[6], b[7], b[8]), ej)
+    # edge centers: support corners with the edge-axis component zeroed
+    za = (jnp.where(ei == 0, 0.0, sa0), jnp.where(ei == 1, 0.0, sa1),
+          jnp.where(ei == 2, 0.0, sa2))
+    pacx = px - (a[0] * za[0] + a[1] * za[1] + a[2] * za[2])
+    pacy = py - (a[3] * za[0] + a[4] * za[1] + a[5] * za[2])
+    pacz = pz - (a[6] * za[0] + a[7] * za[1] + a[8] * za[2])
+    zb = (jnp.where(ej == 0, 0.0, sb0), jnp.where(ej == 1, 0.0, sb1),
+          jnp.where(ej == 2, 0.0, sb2))
+    pbcx = qbx + (b[0] * zb[0] + b[1] * zb[1] + b[2] * zb[2])
+    pbcy = qby + (b[3] * zb[0] + b[4] * zb[1] + b[5] * zb[2])
+    pbcz = qbz + (b[6] * zb[0] + b[7] * zb[1] + b[8] * zb[2])
+    wx_, wy_, wz_ = pacx - pbcx, pacy - pbcy, pacz - pbcz
+    cc_ = _dot(uax, uay, uaz, ubx, uby, ubz)
+    a1_ = _dot(uax, uay, uaz, wx_, wy_, wz_)
+    b1_ = _dot(ubx, uby, ubz, wx_, wy_, wz_)
+    den = jnp.maximum(1.0 - cc_ * cc_, 1e-8)
+    t_b = (b1_ - cc_ * a1_) / den
+    s_a = cc_ * t_b - a1_
+    ha_i = pick((ha[0], ha[1], ha[2]), ei)
+    hb_j = pick((hb[0], hb[1], hb[2]), ej)
+    s_a = jnp.clip(s_a, -ha_i, ha_i)
+    t_b = jnp.clip(t_b, -hb_j, hb_j)
+    edge_x = 0.5 * (pacx + s_a * uax + pbcx + t_b * ubx)
+    edge_y = 0.5 * (pacy + s_a * uay + pbcy + t_b * uby)
+    edge_z = 0.5 * (pacz + s_a * uaz + pbcz + t_b * ubz)
+
+    slots_pt.append((
+        jnp.where(is_edge, edge_x, 0.5 * (supax + supbx)),
+        jnp.where(is_edge, edge_y, 0.5 * (supay + supby)),
+        jnp.where(is_edge, edge_z, 0.5 * (supaz + supbz)),
+    ))
     slots_depth.append(sat_d)
-    slots_valid.append(overlap & ~any_corner)
+    slots_valid.append(overlap & (is_edge | ~any_corner))
 
-    # ---- flatten pair slots to [K*17, N] + append ground [8, N] ---------
-    m_pair = k * K_BB
-    ptx = jnp.stack([s[0] for s in slots_pt]).reshape(m_pair, n)
-    pty = jnp.stack([s[1] for s in slots_pt]).reshape(m_pair, n)
-    ptz = jnp.stack([s[2] for s in slots_pt]).reshape(m_pair, n)
-    # slot-major stacking: slots vary fastest over K via stack axis order —
-    # stack gives [17, K, N]; reshape keeps (slot, k) grouping; partner id
-    # must match: tile idx_t over the 17 slots the same way
-    nxs = jnp.broadcast_to(bnx, (K_BB, k, n)).reshape(m_pair, n)
-    nys = jnp.broadcast_to(bny, (K_BB, k, n)).reshape(m_pair, n)
-    nzs = jnp.broadcast_to(bnz, (K_BB, k, n)).reshape(m_pair, n)
-    dep = jnp.stack(slots_depth).reshape(m_pair, n)
-    val = jnp.stack(slots_valid).reshape(m_pair, n)
-    prt = jnp.broadcast_to(idx_t, (K_BB, k, n)).reshape(m_pair, n)
+    # ---- stage 1: cap each pair's manifold at 4 points -------------------
+    # (Bullet's own persistent-manifold cap, btPersistentManifold
+    # MANIFOLD_CACHE_SIZE=4).  Capping over the 17 candidate slots BEFORE
+    # the global budget compaction shrinks stage 2 from [K*17+8, N] rows to
+    # [K*4+4, N] — the compaction was the dominant cost of this function.
+    cap = 4
+    ptx3 = jnp.stack([s[0] for s in slots_pt])      # [17,K,N]
+    pty3 = jnp.stack([s[1] for s in slots_pt])
+    ptz3 = jnp.stack([s[2] for s in slots_pt])
+    dep3 = jnp.stack(slots_depth)
+    val3 = jnp.stack(slots_valid) & (dep3 > 0.0)
+    cnt3 = jnp.sum(val3.astype(jnp.int32), axis=0)  # [K,N]
+    dest3 = jnp.cumsum(val3.astype(jnp.int32), axis=0) - 1
+    dest3 = jnp.where(val3, dest3, -1)
 
-    # ground: 8 corners of each box against y=0 (normal +Y)
-    g_ptx = jnp.stack([c[0] for c in ca])          # [8,N]
-    g_pty = jnp.stack([c[1] for c in ca])
-    g_ptz = jnp.stack([c[2] for c in ca])
-    g_dep = -g_pty
-    g_val = ground_valid[None, :] & jnp.ones((K_GROUND, n), bool)
+    def cap_take(arr):
+        return jnp.stack([
+            jnp.sum(jnp.where(dest3 == c, arr, 0), axis=0)
+            for c in range(cap)
+        ])                                          # [cap,K,N]
+
+    cval = (jax.lax.broadcasted_iota(jnp.int32, (cap, k, n), 0)
+            < jnp.minimum(cnt3, cap)[None])
+    pair_overflow = jnp.sum(jnp.maximum(cnt3 - cap, 0))
+
+    m_pair = k * cap
+    ptx = cap_take(ptx3).reshape(m_pair, n)
+    pty = cap_take(pty3).reshape(m_pair, n)
+    ptz = cap_take(ptz3).reshape(m_pair, n)
+    dep = cap_take(dep3).reshape(m_pair, n)
+    val = cval.reshape(m_pair, n)
+    # normals / partner ids are per-pair constants: broadcast, don't compact
+    nxs = jnp.broadcast_to(bnx, (cap, k, n)).reshape(m_pair, n)
+    nys = jnp.broadcast_to(bny, (cap, k, n)).reshape(m_pair, n)
+    nzs = jnp.broadcast_to(bnz, (cap, k, n)).reshape(m_pair, n)
+    prt = jnp.broadcast_to(idx_t, (cap, k, n)).reshape(m_pair, n)
+
+    # ground: 8 corners of each box against y=0 (normal +Y), same cap — a
+    # resting box touches with at most 4 corners
+    g_ptx3 = jnp.stack([c[0] for c in ca])          # [8,N]
+    g_pty3 = jnp.stack([c[1] for c in ca])
+    g_ptz3 = jnp.stack([c[2] for c in ca])
+    g_dep3 = -g_pty3
+    g_val3 = ground_valid[None, :] & (g_dep3 > 0.0)
+    g_cnt = jnp.sum(g_val3.astype(jnp.int32), axis=0)
+    g_dest = jnp.cumsum(g_val3.astype(jnp.int32), axis=0) - 1
+    g_dest = jnp.where(g_val3, g_dest, -1)
+
+    def g_take(arr):
+        return jnp.stack([
+            jnp.sum(jnp.where(g_dest == c, arr, 0), axis=0)
+            for c in range(cap)
+        ])                                          # [cap,N]
+
+    g_ptx = g_take(g_ptx3)
+    g_pty = g_take(g_pty3)
+    g_ptz = g_take(g_ptz3)
+    g_dep = g_take(g_dep3)
+    g_val = (jax.lax.broadcasted_iota(jnp.int32, (cap, n), 0)
+             < jnp.minimum(g_cnt, cap)[None])
+    ground_overflow = jnp.sum(jnp.maximum(g_cnt - cap, 0))
 
     ptx = jnp.concatenate([ptx, g_ptx])
     pty = jnp.concatenate([pty, g_pty])
     ptz = jnp.concatenate([ptz, g_ptz])
-    nxs = jnp.concatenate([nxs, jnp.zeros((K_GROUND, n))])
-    nys = jnp.concatenate([nys, jnp.ones((K_GROUND, n))])
-    nzs = jnp.concatenate([nzs, jnp.zeros((K_GROUND, n))])
+    nxs = jnp.concatenate([nxs, jnp.zeros((cap, n))])
+    nys = jnp.concatenate([nys, jnp.ones((cap, n))])
+    nzs = jnp.concatenate([nzs, jnp.zeros((cap, n))])
     dep = jnp.concatenate([dep, g_dep])
-    val = jnp.concatenate([val, g_val]) & (dep > 0.0)
-    prt = jnp.concatenate([prt, jnp.full((K_GROUND, n), -1, jnp.int32)])
+    val = jnp.concatenate([val, g_val])
+    prt = jnp.concatenate([prt, jnp.full((cap, n), -1, jnp.int32)])
 
-    # ---- compact to [budget, N] -----------------------------------------
+    # ---- stage 2: compact to [budget, N] ---------------------------------
     dest = jnp.cumsum(val.astype(jnp.int32), axis=0) - 1
     dest = jnp.where(val, dest, -1)
     counts = jnp.sum(val.astype(jnp.int32), axis=0)
@@ -312,7 +403,8 @@ def box_contacts_t(
     c_prt = take(prt.astype(jnp.float32), -1.0).astype(jnp.int32)
     c_valid = jnp.arange(budget)[:, None] < jnp.minimum(counts, budget)[None, :]
     c_prt = jnp.where(c_valid, c_prt, -1)
-    overflow = jnp.sum(jnp.maximum(counts - budget, 0))
+    overflow = (jnp.sum(jnp.maximum(counts - budget, 0))
+                + pair_overflow + ground_overflow)
     return (c_prt, c_ptx, c_pty, c_ptz, c_nx, c_ny, c_nz, c_dep, c_valid,
             overflow)
 

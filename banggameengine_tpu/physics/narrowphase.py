@@ -56,7 +56,9 @@ def box_box_sat_mtv(pos_a, rot_a, half_a, pos_b, rot_b, half_b):
     """Batched box-box SAT with minimum-translation vector.
 
     Inputs broadcast to a common batch shape ``B``; returns
-    (n f32[B,3] unit axis from b toward a, depth f32[B], overlap bool[B]).
+    (n f32[B,3] unit axis from b toward a, depth f32[B], overlap bool[B],
+    best i32[B] winning axis index: 0-2 A faces, 3-5 B faces, 6-14 cross
+    axes A_i x B_j with i=(best-6)//3, j=(best-6)%3).
     """
     b_shape = jnp.broadcast_shapes(pos_a.shape[:-1], pos_b.shape[:-1])
     pos_a = jnp.broadcast_to(pos_a, b_shape + (3,))
@@ -119,7 +121,7 @@ def box_box_sat_mtv(pos_a, rot_a, half_a, pos_b, rot_b, half_b):
     axis = axis * sign[..., None]
     overlap = ~separated & jnp.isfinite(depth)
     depth = jnp.where(overlap, depth, 0.0)
-    return axis, depth, overlap
+    return axis, depth, overlap, best.astype(jnp.int32)
 
 
 def _sphere_box_contact(center, radius, pos_b, quat_b, half_b):
@@ -174,7 +176,7 @@ def pair_contacts(
     rot_b = math3d.quat_to_mat3(quat_b)
 
     # ---- box-box SAT manifold (slots 0..16) ------------------------------
-    sat_n, sat_depth, sat_overlap = box_box_sat_mtv(
+    sat_n, sat_depth, sat_overlap, sat_best = box_box_sat_mtv(
         pos_a, rot_a, size_a, pos_b, rot_b, size_b
     )
     corners_a = sh.box_corners(pos_a, quat_a, size_a)     # [B,8,3]
@@ -201,24 +203,52 @@ def pair_contacts(
     )
     valid_cb = inside_a & (depth_cb <= sat_depth[..., None] + _LATERAL_MARGIN)
 
-    # SAT-center fallback: midpoint of support points along +/- n.
-    # sign() is deadbanded so axes nearly perpendicular to n don't pick a
-    # corner from float noise (keeps the point batch-shape deterministic).
+    # Slot 16 — the non-corner contact.  sign() is deadbanded so axes nearly
+    # perpendicular to n don't pick a corner from float noise (keeps the
+    # point batch-shape deterministic).
     def _sign_eps(x, eps=1e-5):
         return jnp.where(x > eps, 1.0, jnp.where(x < -eps, -1.0, 0.0))
 
-    sup_a = pos_a - jnp.einsum(
-        "...ij,...j->...i", rot_a,
-        size_a * _sign_eps(jnp.einsum("...ij,...i->...j", rot_a, sat_n)),
-    )
-    sup_b = pos_b + jnp.einsum(
-        "...ij,...j->...i", rot_b,
-        size_b * _sign_eps(jnp.einsum("...ij,...i->...j", rot_b, sat_n)),
-    )
-    center_pt = (0.5 * (sup_a + sup_b))[..., None, :]
+    n_in_a = _sign_eps(jnp.einsum("...ij,...i->...j", rot_a, sat_n))
+    n_in_b = _sign_eps(jnp.einsum("...ij,...i->...j", rot_b, sat_n))
+    sup_a = pos_a - jnp.einsum("...ij,...j->...i", rot_a, size_a * n_in_a)
+    sup_b = pos_b + jnp.einsum("...ij,...j->...i", rot_b, size_b * n_in_b)
+
+    # When the winning SAT axis is a cross axis A_i x B_j the touching
+    # features are two edges: compute their actual closest points (the
+    # quality Bullet's dispatcher gets from dBoxBox edge-edge,
+    # PhysicsSystem.cpp:124-128) instead of a support-midpoint guess.
+    is_edge = sat_best >= 6
+    ei = jnp.clip((sat_best - 6) // 3, 0, 2)
+    ej = jnp.clip((sat_best - 6) % 3, 0, 2)
+    eye = jnp.eye(3, dtype=pos_a.dtype)
+    hot_i = eye[ei]                                     # [...,3]
+    hot_j = eye[ej]
+    ua = jnp.einsum("...ij,...j->...i", rot_a, hot_i)   # A's edge direction
+    ub = jnp.einsum("...ij,...j->...i", rot_b, hot_j)
+    # edge centers: support corners along -/+n with the edge axis zeroed
+    pa_c = pos_a - jnp.einsum(
+        "...ij,...j->...i", rot_a, size_a * n_in_a * (1.0 - hot_i))
+    pb_c = pos_b + jnp.einsum(
+        "...ij,...j->...i", rot_b, size_b * n_in_b * (1.0 - hot_j))
+    w = pa_c - pb_c
+    cc_ = jnp.einsum("...k,...k->...", ua, ub)
+    a1 = jnp.einsum("...k,...k->...", ua, w)
+    b1 = jnp.einsum("...k,...k->...", ub, w)
+    den = jnp.maximum(1.0 - cc_ * cc_, 1e-8)
+    t_b = (b1 - cc_ * a1) / den
+    s_a = cc_ * t_b - a1
+    ha_i = jnp.einsum("...k,...k->...", size_a, hot_i)
+    hb_j = jnp.einsum("...k,...k->...", size_b, hot_j)
+    s_a = jnp.clip(s_a, -ha_i, ha_i)
+    t_b = jnp.clip(t_b, -hb_j, hb_j)
+    edge_pt = 0.5 * (pa_c + s_a[..., None] * ua + pb_c + t_b[..., None] * ub)
+
+    center_pt = jnp.where(
+        is_edge[..., None], edge_pt, 0.5 * (sup_a + sup_b))[..., None, :]
     center_depth = sat_depth[..., None]
     any_corner = jnp.any(valid_ca, -1) | jnp.any(valid_cb, -1)
-    center_valid = (~any_corner)[..., None]
+    center_valid = (is_edge | ~any_corner)[..., None]
 
     bb_gate = (a_box & b_box & sat_overlap)[..., None]
     bb_pts = jnp.concatenate([corners_a, corners_b, center_pt], axis=-2)
@@ -347,7 +377,7 @@ def boolean_overlap_pairs(
 
     rot_a = math3d.quat_to_mat3(quat_a)
     rot_b = math3d.quat_to_mat3(quat_b)
-    _, _, sat = box_box_sat_mtv(pos_a, rot_a, size_a, pos_b, rot_b, size_b)
+    _, _, sat, _ = box_box_sat_mtv(pos_a, rot_a, size_a, pos_b, rot_b, size_b)
 
     seg_a0, seg_a1 = sh.capsule_segment(pos_a, quat_a, size_a[..., 1])
     seg_b0, seg_b1 = sh.capsule_segment(pos_b, quat_b, size_b[..., 1])
@@ -385,7 +415,7 @@ def boolean_overlap_matrix(pos, quat, shape_type, size, margin: float = 0.0):
     pen = jnp.any(gvalid & (depth > -margin), axis=-1)
 
     rot = math3d.quat_to_mat3(quat)
-    _, _, sat_overlap = box_box_sat_mtv(
+    _, _, sat_overlap, _ = box_box_sat_mtv(
         pos[:, None], rot[:, None], size[:, None],
         pos[None, :], rot[None, :], size[None, :],
     )
