@@ -80,6 +80,100 @@ class HeadlessWindow(BaseWindow):
         self.title = title
 
 
+class XcbWindow(BaseWindow):
+    """Interactive window over the native xcb presenter
+    (:mod:`banggameengine_tpu.native.xcbwindow_binding`).
+
+    This is the path that actually DISPLAYS frames (the reference's
+    ``bgfx::frame()`` swap, ``Renderer.cpp:733-736``): ``present()`` blits
+    the RGBA framebuffer into the X window.  Raises RuntimeError when no X
+    server is reachable; ``create_window`` then degrades to headless.
+    """
+
+    def __init__(self, width: int = 1280, height: int = 720,
+                 title: str = "BangGameEngine-TPU"):
+        from banggameengine_tpu.native.xcbwindow_binding import (
+            EV_BTN_DOWN, EV_BTN_UP, EV_KEY_DOWN, EV_KEY_UP, EV_MOTION,
+            EV_RESIZE, NativeXcbWindow, _SCROLL_DOWN, _SCROLL_UP,
+        )
+
+        self._ev = dict(kd=EV_KEY_DOWN, ku=EV_KEY_UP, bd=EV_BTN_DOWN,
+                        bu=EV_BTN_UP, mv=EV_MOTION, rs=EV_RESIZE,
+                        su=_SCROLL_UP, sd=_SCROLL_DOWN)
+        self._native = NativeXcbWindow(width, height, title)
+        self.width = width
+        self.height = height
+        self._keys: set[str] = set()
+        self._buttons: set[str] = set()
+        self._mouse = (0.0, 0.0)
+        self._mouse_delta = (0.0, 0.0)
+        self._scroll = [0.0, 0.0]
+        self._cursor_locked = False
+
+    def poll_events(self) -> None:
+        nw = self._native
+        e = self._ev
+        dx = dy = 0.0
+        for kind, a, b, _c in nw.poll():
+            if kind == e["kd"]:
+                name = nw.keysym_name(a)
+                if name:
+                    self._keys.add(name)
+            elif kind == e["ku"]:
+                name = nw.keysym_name(a)
+                self._keys.discard(name)
+            elif kind == e["bd"]:
+                if a == e["su"]:
+                    self._scroll[1] += 1.0
+                elif a == e["sd"]:
+                    self._scroll[1] -= 1.0
+                else:
+                    name = nw.button_name(a)
+                    if name:
+                        self._buttons.add(name)
+            elif kind == e["bu"]:
+                name = nw.button_name(a)
+                self._buttons.discard(name)
+            elif kind == e["mv"]:
+                dx += a - self._mouse[0]
+                dy += b - self._mouse[1]
+                self._mouse = (float(a), float(b))
+            elif kind == e["rs"]:
+                self.width, self.height = int(a), int(b)
+        # deltas only while locked (Window.cpp:72-76)
+        self._mouse_delta = (dx, dy) if self._cursor_locked else (0.0, 0.0)
+
+    def present(self, frame: np.ndarray) -> None:
+        self._native.present(frame)
+
+    def should_close(self) -> bool:
+        return self._native.should_close()
+
+    def set_cursor_locked(self, locked: bool) -> None:
+        self._cursor_locked = locked
+
+    def set_title(self, title: str) -> None:
+        self._native.set_title(title)
+
+    def close(self) -> None:
+        self._native.close()
+
+    # InputSource ------------------------------------------------------------
+    def keys_down(self):
+        return set(self._keys)
+
+    def mouse_buttons_down(self):
+        return set(self._buttons)
+
+    def mouse_delta(self):
+        return self._mouse_delta
+
+    def scroll_delta(self):
+        out = tuple(self._scroll)
+        self._scroll[0] = self._scroll[1] = 0.0
+        return out
+
+
 class GlfwWindow(BaseWindow):
     """Interactive window via glfw (only when the module is available).
 
@@ -168,10 +262,15 @@ class GlfwWindow(BaseWindow):
 
 
 def create_window(width: int = 1280, height: int = 720, **kwargs) -> BaseWindow:
-    """GLFW when available, headless otherwise (the reference's Noop-backend
-    degradation, ``Renderer.cpp:156``)."""
+    """Native xcb presenter when a display exists, then GLFW (input-only),
+    headless otherwise (the reference's backend fallback chain,
+    ``Renderer.cpp:146-157`` preferred -> D3D11 -> auto -> Noop)."""
+    try:
+        return XcbWindow(width, height)
+    except Exception as e:
+        log.info("[Window] xcb window unavailable (%s)", e)
     try:
         return GlfwWindow(width, height)
     except Exception as e:
         log.info("[Window] interactive window unavailable (%s); headless", e)
-        return HeadlessWindow(width, height, **kwargs)
+    return HeadlessWindow(width, height, **kwargs)

@@ -10,7 +10,10 @@ log = logging.getLogger("native")
 
 _DIR = os.path.dirname(os.path.abspath(__file__))
 LIB_PATH = os.path.join(_DIR, "libbangnative.so")
-_SOURCES = [os.path.join(_DIR, "objloader.cpp")]
+_SOURCES = [
+    os.path.join(_DIR, "objloader.cpp"),
+    os.path.join(_DIR, "xcbwindow.cpp"),
+]
 
 
 def build_native(force: bool = False) -> str | None:
@@ -21,7 +24,7 @@ def build_native(force: bool = False) -> str | None:
             return LIB_PATH
     cmd = [
         "g++", "-O2", "-std=c++17", "-shared", "-fPIC",
-        *_SOURCES, "-o", LIB_PATH,
+        *_SOURCES, "-o", LIB_PATH, "-ldl",
     ]
     try:
         subprocess.run(cmd, check=True, capture_output=True, timeout=120)
