@@ -68,16 +68,26 @@ def make_step_fn(
     donate: bool = True,
     **physics_kwargs,
 ) -> Callable[[WorldState, InputFrame], tuple[WorldState, StepEvents]]:
-    """Build a jitted single-world step closed over the static scene.
+    """Build a jitted single-world step bound to the static scene.
 
     ``donate=True`` donates the WorldState buffers so stepping is in-place in
     HBM (no per-step reallocation).
+
+    The static scene is passed to the executable as a *traced argument*, not
+    captured: embedded constant buffers cost a flat ~32 ms host round-trip
+    per execution on tunneled TPU runtimes, which would dwarf the step
+    itself (see ``scripts/find_constants.py``).  The host-side scene census
+    (dead-stage skipping) still runs here, where the scene is concrete.
     """
+    from banggameengine_tpu.physics.step import scene_census
+
     fn = functools.partial(
-        engine_step, static=static, solver_iterations=solver_iterations,
-        **physics_kwargs,
+        engine_step, solver_iterations=solver_iterations,
+        **{**scene_census(static), **physics_kwargs},
     )
-    return jax.jit(fn, donate_argnums=(0,) if donate else ())
+    jfn = jax.jit(fn, donate_argnums=(0,) if donate else ())
+    static = jax.device_put(static)
+    return lambda state, inp: jfn(state, inp, static)
 
 
 def make_hot_reloadable_step_fn(
@@ -106,16 +116,21 @@ def make_multi_step_fn(
     need per-step events should use :func:`make_step_fn_with_events`.
     """
 
-    def run(state: WorldState, inp: InputFrame):
+    from banggameengine_tpu.physics.step import scene_census
+
+    kwargs = {**scene_census(static), **physics_kwargs}
+
+    def run(state: WorldState, inp: InputFrame, st: StaticScene):
         def body(carry, _):
-            s, _ev = engine_step(carry, inp, static, solver_iterations,
-                                 **physics_kwargs)
+            s, _ev = engine_step(carry, inp, st, solver_iterations, **kwargs)
             return s, None
 
         final, _ = jax.lax.scan(body, state, None, length=num_steps)
         return final
 
-    return jax.jit(run, donate_argnums=(0,))
+    jfn = jax.jit(run, donate_argnums=(0,))
+    static = jax.device_put(static)
+    return lambda state, inp: jfn(state, inp, static)
 
 
 def make_step_fn_with_events(
@@ -126,12 +141,18 @@ def make_step_fn_with_events(
     """Like :func:`make_multi_step_fn` but stacks per-step events
     (``StepEvents`` arrays gain a leading [num_steps] axis)."""
 
-    def run(state: WorldState, inp: InputFrame):
+    from banggameengine_tpu.physics.step import scene_census
+
+    census = scene_census(static)
+
+    def run(state: WorldState, inp: InputFrame, st: StaticScene):
         def body(carry, _):
-            s, ev = engine_step(carry, inp, static, solver_iterations)
+            s, ev = engine_step(carry, inp, st, solver_iterations, **census)
             return s, ev
 
         final, events = jax.lax.scan(body, state, None, length=num_steps)
         return final, events
 
-    return jax.jit(run, donate_argnums=(0,))
+    jfn = jax.jit(run, donate_argnums=(0,))
+    static = jax.device_put(static)
+    return lambda state, inp: jfn(state, inp, static)

@@ -85,17 +85,21 @@ def make_sharded_many_world_step(
     """
     mesh = mesh or make_world_mesh()
 
+    from banggameengine_tpu.physics.step import scene_census
+
+    kwargs = {**scene_census(static), **physics_kwargs}
     vstep = jax.vmap(
-        lambda s, i: engine_step(s, i, static, solver_iterations,
-                                 **physics_kwargs)[0]
+        lambda s, i, st: engine_step(s, i, st, solver_iterations,
+                                     **kwargs)[0],
+        in_axes=(0, 0, None),
     )
 
-    def run(bstate, binp):
+    def run(bstate, binp, st):
         if num_steps == 1:
-            out = vstep(bstate, binp)
+            out = vstep(bstate, binp, st)
         else:
             def body(carry, _):
-                return vstep(carry, binp), None
+                return vstep(carry, binp, st), None
 
             out, _ = jax.lax.scan(body, bstate, None, length=num_steps,
                                   unroll=2)
@@ -106,5 +110,9 @@ def make_sharded_many_world_step(
         return out
 
     # jit infers output shardings from the (already device_put) inputs;
-    # donation keeps stepping in-place per shard.
-    return jax.jit(run, donate_argnums=(0,))
+    # donation keeps stepping in-place per shard.  The static scene is a
+    # traced argument (replicated): captured constants cost a flat host
+    # round-trip per dispatch on tunneled runtimes.
+    jfn = jax.jit(run, donate_argnums=(0,))
+    static = jax.device_put(static)
+    return lambda bstate, binp: jfn(bstate, binp, static)

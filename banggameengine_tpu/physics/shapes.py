@@ -19,19 +19,26 @@ from banggameengine_tpu.state import SHAPE_BOX, SHAPE_CAPSULE
 
 Array = jax.Array
 
-# 8 sign combinations for box corners, static constant [8,3]
-_CORNER_SIGNS = jnp.asarray(
-    [
-        [-1, -1, -1], [1, -1, -1], [-1, 1, -1], [1, 1, -1],
-        [-1, -1, 1], [1, -1, 1], [-1, 1, 1], [1, 1, 1],
-    ],
-    jnp.float32,
-)
-
-
 def box_corners(pos: Array, quat: Array, half: Array) -> Array:
-    """World-space corners of an oriented box. [..., 8, 3]."""
-    local = _CORNER_SIGNS * half[..., None, :]
+    """World-space corners of an oriented box. [..., 8, 3].
+
+    The 8 sign combinations (corner k flips axis a iff bit a of k) are built
+    from the *traced* half extents rather than a constant [8,3] table: a
+    captured table embeds as an executable constant, and every executed
+    constant buffer costs a flat ~32 ms host round-trip per dispatch on
+    tunneled TPU runtimes (scripts/find_constants.py).  XLA cannot fold a
+    subgraph rooted at a traced value.
+    """
+    hx, hy, hz = half[..., 0], half[..., 1], half[..., 2]
+    local = jnp.stack(
+        [
+            jnp.stack([-hx, -hy, -hz], -1), jnp.stack([hx, -hy, -hz], -1),
+            jnp.stack([-hx, hy, -hz], -1), jnp.stack([hx, hy, -hz], -1),
+            jnp.stack([-hx, -hy, hz], -1), jnp.stack([hx, -hy, hz], -1),
+            jnp.stack([-hx, hy, hz], -1), jnp.stack([hx, hy, hz], -1),
+        ],
+        axis=-2,
+    )
     return math3d.quat_rotate(quat[..., None, :], local) + pos[..., None, :]
 
 

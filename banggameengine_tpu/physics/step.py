@@ -46,6 +46,32 @@ SOLVER_ITERATIONS = 10
 CONTACT_BUDGET = 12    # max solved contacts per body after compaction
 
 
+def scene_census(static: StaticScene) -> dict:
+    """Host-side census of a CONCRETE static scene.
+
+    Returns the compile-time booleans that let ``physics_step`` skip dead
+    pipeline stages (character sweep, capsule narrowphase, trigger overlap).
+    Step factories call this once and thread the result through
+    ``physics_kwargs``, so the StaticScene itself can stay a *traced*
+    argument (embedded constants cost a flat host round-trip per dispatch
+    on tunneled runtimes — scripts/find_constants.py).
+    """
+    import numpy as _np
+
+    from banggameengine_tpu.state import SHAPE_CAPSULE as _CAP
+
+    st_np = _np.asarray(static.shape_type)
+    bt_np = _np.asarray(static.body_type)
+    caps = (st_np == _CAP) & (bt_np > 0)
+    ce_np = _np.asarray(static.char_entity)
+    caps[ce_np[ce_np >= 0]] = False  # character ghosts never solve
+    return dict(
+        any_char=bool((ce_np >= 0).any()),
+        enable_capsule=bool(caps.any()),
+        any_trig=bool((_np.asarray(static.trig_entity) >= 0).any()),
+    )
+
+
 def physics_step(
     state: WorldState,
     inp: InputFrame,
@@ -57,6 +83,9 @@ def physics_step(
     grid_cell_capacity: int = 8,
     max_neighbors: int = 16,
     trigger_mode: str = "aabb",
+    any_char: bool | None = None,
+    enable_capsule: bool | None = None,
+    any_trig: bool | None = None,
 ) -> tuple[WorldState, StepEvents]:
     dt = static.fixed_dt
     n = state.capacity
@@ -90,14 +119,15 @@ def physics_step(
 
     # host-known census: a scene with no character slot in use skips the
     # whole character sweep (the 10k-stress scene pays a full capsule-vs-N
-    # pass for one dead slot otherwise); traced statics keep the sweep.
-    try:
-        import numpy as _np
+    # pass for one dead slot otherwise).  Factories pass the census in
+    # (scene_census); a traced static with no census keeps the sweep.
+    if any_char is None:
+        try:
+            import numpy as _np
 
-        any_char = bool((_np.asarray(char_ent) >= 0).any())
-    except (jax.errors.TracerArrayConversionError,
-            jax.errors.ConcretizationTypeError):
-        any_char = True
+            any_char = bool((_np.asarray(char_ent) >= 0).any())
+        except jax.errors.TracerArrayConversionError:
+            any_char = True
 
     obstacle_base = alive & has_collider
 
@@ -147,21 +177,21 @@ def physics_step(
 
     # host-known shape census: when no SOLID capsule exists (characters are
     # ghosts), the capsule narrowphase blocks are dead code — skip them.
-    # Falls back to True when the static scene is traced (hot-reload path).
-    try:
-        import numpy as _np
-        from banggameengine_tpu.state import SHAPE_CAPSULE as _CAP
+    # Factories pass the census in; falls back to the general path when the
+    # static scene is traced with no census (hot-reload path).
+    if enable_capsule is None:
+        try:
+            import numpy as _np
+            from banggameengine_tpu.state import SHAPE_CAPSULE as _CAP
 
-        st_np = _np.asarray(static.shape_type)
-        bt_np = _np.asarray(static.body_type)
-        caps = (st_np == _CAP) & (bt_np > 0)
-        ce_np = _np.asarray(static.char_entity)
-        caps[ce_np[ce_np >= 0]] = False  # character ghosts never solve
-        enable_capsule = bool(caps.any())
-    except (jax.errors.TracerArrayConversionError,
-            jax.errors.ConcretizationTypeError):
-        # traced static (hot-reload path) -> keep the general path
-        enable_capsule = True
+            st_np = _np.asarray(static.shape_type)
+            bt_np = _np.asarray(static.body_type)
+            caps = (st_np == _CAP) & (bt_np > 0)
+            ce_np = _np.asarray(static.char_entity)
+            caps[ce_np[ce_np >= 0]] = False  # character ghosts never solve
+            enable_capsule = bool(caps.any())
+        except jax.errors.TracerArrayConversionError:
+            enable_capsule = True
 
     # ---- broadphase -> fixed-capacity neighbor lists --------------------
     # (all paths prune pairs BEFORE the expensive manifold math; every
@@ -239,7 +269,7 @@ def physics_step(
         vel, ang = out[:, 0:3], out[:, 3:6]
         return _finish_step(state, static, pos, quat, vel, ang,
                             char_vel_y, char_on_ground, is_dynamic, moving,
-                            alive, has_collider, trigger_mode, dt)
+                            alive, has_collider, trigger_mode, dt, any_trig)
     if broadphase == "dense":
         from banggameengine_tpu.physics.broadphase import (
             build_neighbor_lists_dense,
@@ -330,12 +360,13 @@ def physics_step(
     )
     return _finish_step(state, static, pos, quat, vel, ang,
                         char_vel_y, char_on_ground, is_dynamic, moving,
-                        alive, has_collider, trigger_mode, dt)
+                        alive, has_collider, trigger_mode, dt, any_trig)
 
 
 def _finish_step(state, static, pos, quat, vel, ang, char_vel_y,
                  char_on_ground, is_dynamic, moving, alive, has_collider,
-                 trigger_mode, dt) -> tuple[WorldState, StepEvents]:
+                 trigger_mode, dt,
+                 any_trig=None) -> tuple[WorldState, StepEvents]:
     """Shared step tail: integrate, triggers, state assembly."""
     # semi-implicit Euler integrate dynamic AND kinematic bodies (kinematic
     # velocity is host-driven and persists across steps until changed)
@@ -353,13 +384,13 @@ def _finish_step(state, static, pos, quat, vel, ang, char_vel_y,
     # BROADPHASE pairs, PhysicsSystem.cpp:1028-1031); 'shape' is the exact
     # shape-overlap variant.  Host-known census: scenes with no trigger
     # slots in use skip the overlap sweep entirely.
-    try:
-        import numpy as _np
+    if any_trig is None:
+        try:
+            import numpy as _np
 
-        any_trig = bool((_np.asarray(static.trig_entity) >= 0).any())
-    except (jax.errors.TracerArrayConversionError,
-            jax.errors.ConcretizationTypeError):
-        any_trig = True
+            any_trig = bool((_np.asarray(static.trig_entity) >= 0).any())
+        except jax.errors.TracerArrayConversionError:
+            any_trig = True
     if any_trig:
         overlap_fn = (
             tg.trigger_aabb_overlaps if trigger_mode == "aabb"

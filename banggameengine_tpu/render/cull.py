@@ -24,15 +24,20 @@ def entity_frustum_mask(
     """
     n = ent_aabb_min.shape[0]
     mn, mx = ent_aabb_min, ent_aabb_max
-    # 8 corners [N,8,3]
-    sel = jnp.asarray(
+    # 8 corners [N,8,3], built from the traced min/max per axis rather than
+    # a constant [8,3] selector table (embedded constants cost a flat host
+    # round-trip per dispatch on tunneled runtimes — find_constants.py)
+    ax, ay, az = mn[:, 0], mn[:, 1], mn[:, 2]
+    bx, by, bz = mx[:, 0], mx[:, 1], mx[:, 2]
+    corners = jnp.stack(
         [
-            [0, 0, 0], [1, 0, 0], [0, 1, 0], [1, 1, 0],
-            [0, 0, 1], [1, 0, 1], [0, 1, 1], [1, 1, 1],
+            jnp.stack([ax, ay, az], -1), jnp.stack([bx, ay, az], -1),
+            jnp.stack([ax, by, az], -1), jnp.stack([bx, by, az], -1),
+            jnp.stack([ax, ay, bz], -1), jnp.stack([bx, ay, bz], -1),
+            jnp.stack([ax, by, bz], -1), jnp.stack([bx, by, bz], -1),
         ],
-        jnp.float32,
+        axis=1,
     )
-    corners = mn[:, None, :] + (mx - mn)[:, None, :] * sel[None]
     w = world_mats
     wc = jnp.einsum("nij,nkj->nki", w[:, :3, :3], corners) + w[:, None, :3, 3]
     vp = jnp.matmul(proj, view, preferred_element_type=jnp.float32)

@@ -71,7 +71,7 @@ def render_frame(
     inv_w = 1.0 / jnp.where(jnp.abs(clip[:, 3]) > 1e-9, clip[:, 3], 1e-9)
 
     frame = shade_visibility(
-        vis.tri_id, vis.bary,
+        vis.tri_id, vis.b1, vis.b2,
         world_pos, world_nrm, rs.v_uv, inv_w,
         rs.tri_material,
         rs.mat_base_tint, rs.mat_uv_scale, rs.mat_spec_params,
@@ -80,6 +80,7 @@ def render_frame(
         camera_pos, light,
         wireframe=wireframe,
         textures_quad=getattr(rs, "textures_quad", None),
+        textures_quad_t=getattr(rs, "textures_quad_t", None),
     )
     if return_depth:
         return frame, vis.depth
@@ -89,11 +90,55 @@ def render_frame(
 def make_render_fn(render_scene, width: int, height: int,
                    bin_capacity: int = 512, depth_only: bool = False,
                    return_depth: bool = False, wireframe: bool = False):
-    """Jitted frame renderer closed over the (static) render scene."""
+    """Jitted frame renderer bound to the (static) render scene.
+
+    The scene arrays enter the executable as traced arguments rather than
+    captured constants — embedded constants cost a flat ~32 ms host
+    round-trip per call on tunneled TPU runtimes
+    (``scripts/find_constants.py``)."""
     fn = functools.partial(
-        render_frame, render_scene,
+        render_frame,
         width=width, height=height,
         bin_capacity=bin_capacity, depth_only=depth_only,
         return_depth=return_depth, wireframe=wireframe,
     )
-    return jax.jit(fn)
+    jfn = jax.jit(fn)
+    rs = jax.device_put(render_scene)
+
+    def call(world_mats, view, proj, camera_pos, light=None):
+        return jfn(rs, world_mats, view, proj, camera_pos, light)
+
+    return call
+
+
+def make_frame_fn(built, width: int, height: int,
+                  solver_iterations: int = 10, bin_capacity: int = 2048,
+                  **physics_kwargs):
+    """One fused, donated dispatch: engine step + shaded frame.
+
+    The interactive loop's whole tick (``Application::Update`` +
+    ``Renderer::BeginFrame``..``bgfx::frame()``) as a single executable —
+    no host round-trip between sim and render, WorldState buffers donated
+    in place.  Returns ``call(state, inp, view, proj, cam_pos, light=None)
+    -> (new_state, u8[H,W,4])``.
+    """
+    from banggameengine_tpu.engine import engine_step
+    from banggameengine_tpu.physics.step import scene_census
+
+    kwargs = {**scene_census(built.static), **physics_kwargs}
+
+    def frame(state, inp, st, rs, view, proj, cam_pos, light):
+        s2, _ev = engine_step(state, inp, st, solver_iterations, **kwargs)
+        img = render_frame(rs, s2.world, view, proj, cam_pos, light,
+                           width=width, height=height,
+                           bin_capacity=bin_capacity)
+        return s2, img
+
+    jfn = jax.jit(frame, donate_argnums=(0,))
+    st = jax.device_put(built.static)
+    rs = jax.device_put(built.render)
+
+    def call(state, inp, view, proj, cam_pos, light=None):
+        return jfn(state, inp, st, rs, view, proj, cam_pos, light)
+
+    return call

@@ -42,9 +42,21 @@ K_GLOBAL = 64  # shared bin for triangles spanning many tiles
 
 
 class VisibilityBuffer(NamedTuple):
+    """Planar (SoA) visibility buffer.
+
+    Framebuffer-size tensors stay [H,W] planes: a trailing minor dim of 2
+    would pad to the 128-lane tile (64x wasted HBM traffic on every
+    read/write)."""
+
     depth: Array    # f32[H,W], 1.0 = far/background
     tri_id: Array   # i32[H,W], -1 = background
-    bary: Array     # f32[H,W,2] (b1, b2) screen-space barycentrics
+    b1: Array       # f32[H,W] screen-space barycentric of vertex 1
+    b2: Array       # f32[H,W] screen-space barycentric of vertex 2
+
+    @property
+    def bary(self) -> Array:
+        """Interleaved f32[H,W,2] view (tests/debug; prefer b1/b2 planes)."""
+        return jnp.stack([self.b1, self.b2], axis=-1)
 
 
 def transform_vertices(v_pos, v_entity, world_mats, view, proj):
@@ -459,6 +471,7 @@ def rasterize(clip, tri_valid, width: int, height: int,
     vis = VisibilityBuffer(
         depth=untile(zb),
         tri_id=untile(tid),
-        bary=jnp.stack([untile(b1), untile(b2)], axis=-1),
+        b1=untile(b1),
+        b2=untile(b2),
     )
     return vis, overflow

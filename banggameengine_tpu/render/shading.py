@@ -130,7 +130,8 @@ def sample_texture_bilinear(textures: Array, tex_size: Array, tex_id: Array,
 
 def shade_visibility(
     vis_tri_id: Array,    # i32[H,W]
-    vis_bary: Array,      # f32[H,W,2]
+    vis_b1: Array,        # f32[H,W] barycentric of vertex 1
+    vis_b2: Array,        # f32[H,W] barycentric of vertex 2
     # per-vertex attributes (V = 3*T)
     world_pos: Array,     # f32[V,3]
     world_nrm: Array,     # f32[V,3]
@@ -145,92 +146,206 @@ def shade_visibility(
     light: LightParams,
     wireframe: bool = False,
     textures_quad: Array | None = None,
+    textures_quad_t: Array | None = None,
 ) -> Array:
     """Shade every pixel of the visibility buffer.  Returns u8[H,W,4].
+
+    The math runs in **component form**: every quantity is a flat f32[P]
+    vector (P = H*W pixels).  The per-pixel fetch is exactly TWO
+    channel-major ``take(..., axis=1)`` gathers — one [39, P] carrying all
+    three corners' attributes AND the triangle's resolved material/texture
+    parameters (1D gathers cost ~10 ns/element on TPU, so folding material
+    id / uv scale / texture size into the per-triangle row eliminates
+    three of them), and one [16, P] texel-quad for the bilinear taps.
+    Channel-major matters: the gathers land channel-PLANAR, so every
+    consumer reads a contiguous [P] row instead of slicing a lane-padded
+    [P, C] array (which re-reads 128/C times the data per slice).  An
+    optimization barrier pins each gather to run once — XLA otherwise
+    fuses gathers into every consumer kernel, re-gathering per use.
 
     ``wireframe=True`` keeps only pixels near triangle edges (barycentric
     proximity), the F1 wireframe toggle (``Renderer.cpp:766-783``
     BGFX_DEBUG_WIREFRAME equivalent)."""
     h, w = vis_tri_id.shape
-    tid = jnp.maximum(vis_tri_id, 0)
-    i0 = tid * 3
-    b1 = vis_bary[..., 0]
-    b2 = vis_bary[..., 1]
+    p = h * w
+    tid_hw = jnp.maximum(vis_tri_id, 0)
+    tid = tid_hw.reshape(p)
+    b1 = vis_b1.reshape(p)
+    b2 = vis_b2.reshape(p)
     b0 = 1.0 - b1 - b2
 
-    # pack ALL per-triangle attributes into one row (3 corners x 9) so the
-    # per-pixel fetch is a SINGLE row-gather
+    # per-triangle super-row, channel-major [39, T]:
+    #   0..26  corner attrs (3 corners x [wp.xyz, nrm.xyz, uv, inv_w])
+    #   27..30 material base tint rgba      31..32 material uv scale
+    #   33..35 material spec color          36     texture id
+    #   37..38 texture (w, h)
+    # (building it is T-sized work — trivial next to the P-sized gather)
     packed = jnp.concatenate(
         [world_pos, world_nrm, v_uv, inv_w[:, None]], axis=-1
     )                                                  # [V, 9]
     packed_tri = packed.reshape(-1, 27)                # [T, 27]
-    a_all = packed_tri[tid]                            # [H,W,27]
-    a0 = a_all[..., 0:9]
-    a1 = a_all[..., 9:18]
-    a2 = a_all[..., 18:27]
+    mat_packed = jnp.concatenate(
+        [mat_base_tint, mat_uv_scale, mat_spec_color,
+         mat_tex[:, None].astype(jnp.float32),
+         tex_size[mat_tex].astype(jnp.float32)], axis=-1,
+    )                                                  # [M, 12]
+    tri_row_t = jnp.concatenate(
+        [packed_tri, mat_packed[tri_material]], axis=-1).T  # [39, T]
 
-    iw0, iw1, iw2 = a0[..., 8], a1[..., 8], a2[..., 8]
+    a = jax.lax.optimization_barrier(
+        jnp.take(tri_row_t, tid, axis=1))              # [39, P] ONE gather
+
+    iw0, iw1, iw2 = a[8], a[17], a[26]
     w0 = b0 * iw0
     w1 = b1 * iw1
     w2 = b2 * iw2
     persp_den = w0 + w1 + w2
     inv_den = 1.0 / jnp.where(jnp.abs(persp_den) > 1e-12, persp_den, 1e-12)
-    interp_all = (
-        a0 * w0[..., None] + a1 * w1[..., None] + a2 * w2[..., None]
-    ) * inv_den[..., None]
-    wp = interp_all[..., 0:3]
-    nrm = interp_all[..., 3:6]
-    uv = interp_all[..., 6:8]
 
-    # material lookups via one-hot contraction (tiny table, no gathers)
-    mid = tri_material[tid]                            # [H,W]
-    m_count = mat_base_tint.shape[0]
-    m_onehot = jax.nn.one_hot(mid, m_count, dtype=jnp.float32)
-    mat_packed = jnp.concatenate(
-        [mat_base_tint, mat_uv_scale, mat_spec_color,
-         mat_tex[:, None].astype(jnp.float32)], axis=-1,
-    )                                                  # [M, 10]
-    mat_px = jnp.einsum("hwm,mk->hwk", m_onehot, mat_packed)
-    px_tint = mat_px[..., 0:4]
-    px_uv_scale = mat_px[..., 4:6]
-    px_spec_color = mat_px[..., 6:9]
-    px_tex_id = mat_px[..., 9].astype(jnp.int32)
+    def interp(c):
+        """Perspective-correct interpolation of per-corner channel c."""
+        return (a[c] * w0 + a[c + 9] * w1 + a[c + 18] * w2) * inv_den
 
-    uv = uv * px_uv_scale
-    if textures_quad is not None:
-        tex = sample_texture_bilinear_quad(textures_quad, tex_size,
-                                           px_tex_id, uv)
-    else:
-        tex = sample_texture_bilinear(textures, tex_size, px_tex_id, uv)
+    wpx, wpy, wpz = interp(0), interp(1), interp(2)
+    nx, ny, nz = interp(3), interp(4), interp(5)
+    u, v = interp(6), interp(7)
 
-    n = nrm / jnp.maximum(jnp.linalg.norm(nrm, axis=-1, keepdims=True), 1e-9)
+    tint_r, tint_g, tint_b, tint_a = a[27], a[28], a[29], a[30]
+    uv_sx, uv_sy = a[31], a[32]
+    spec_r, spec_g, spec_b = a[33], a[34], a[35]
+    tex_id = a[36].astype(jnp.int32)
+    tex_w, tex_h = a[37], a[38]
+
+    u = u * uv_sx
+    v = v * uv_sy
+    tex_r, tex_g, tex_b, tex_a = _sample_bilinear_planar(
+        textures, textures_quad, textures_quad_t, tex_id, tex_w, tex_h, u, v)
+
+    inv_nlen = jax.lax.rsqrt(jnp.maximum(nx * nx + ny * ny + nz * nz, 1e-18))
+    nx, ny, nz = nx * inv_nlen, ny * inv_nlen, nz * inv_nlen
+
     light_dir = light.direction()
-    l = -light_dir
-    l = l / jnp.maximum(jnp.linalg.norm(l), 1e-9)
-    v = camera_pos - wp
-    v = v / jnp.maximum(jnp.linalg.norm(v, axis=-1, keepdims=True), 1e-9)
-    hvec = l + v
-    hvec = hvec / jnp.maximum(jnp.linalg.norm(hvec, axis=-1, keepdims=True), 1e-9)
+    ld = -light_dir
+    ld = ld / jnp.maximum(jnp.linalg.norm(ld), 1e-9)
+    lx, ly, lz = ld[0], ld[1], ld[2]
 
-    diff = jnp.maximum(jnp.sum(n * l, -1), 0.0)
-    ndoth = jnp.maximum(jnp.sum(n * hvec, -1), 0.0)
+    vx = camera_pos[0] - wpx
+    vy = camera_pos[1] - wpy
+    vz = camera_pos[2] - wpz
+    inv_vlen = jax.lax.rsqrt(jnp.maximum(vx * vx + vy * vy + vz * vz, 1e-18))
+    vx, vy, vz = vx * inv_vlen, vy * inv_vlen, vz * inv_vlen
+
+    hx, hy, hz = lx + vx, ly + vy, lz + vz
+    inv_hlen = jax.lax.rsqrt(jnp.maximum(hx * hx + hy * hy + hz * hz, 1e-18))
+    hx, hy, hz = hx * inv_hlen, hy * inv_hlen, hz * inv_hlen
+
+    diff = jnp.maximum(nx * lx + ny * ly + nz * lz, 0.0)
+    ndoth = jnp.maximum(nx * hx + ny * hy + nz * hz, 0.0)
     # global overrides replace per-material shininess/intensity
     # (Renderer.cpp:657-659); per-material spec color is kept
     s = jnp.power(ndoth, light.shininess) * light.spec_intensity
 
-    base = tex[..., :3] * px_tint[..., :3]             # vertex color is white
-    lit = light.ambient + light.color * diff[..., None]
-    rgb = base * lit + px_spec_color * s[..., None]
-    alpha = tex[..., 3] * px_tint[..., 3]
+    lit_r = light.ambient + light.color[0] * diff
+    lit_g = light.ambient + light.color[1] * diff
+    lit_b = light.ambient + light.color[2] * diff
+    rgb_r = tex_r * tint_r * lit_r + spec_r * s       # vertex color is white
+    rgb_g = tex_g * tint_g * lit_g + spec_g * s
+    rgb_b = tex_b * tint_b * lit_b + spec_b * s
+    alpha = tex_a * tint_a
 
-    background = vis_tri_id < 0
-    clear = jnp.asarray(CLEAR_COLOR, jnp.float32)
+    background = vis_tri_id.reshape(p) < 0
+    clear = CLEAR_COLOR
     if wireframe:
         min_bary = jnp.minimum(jnp.minimum(b0, b1), b2)
         on_edge = min_bary < 0.05
-        rgb = jnp.where(on_edge[..., None], rgb, clear)
-    rgb = jnp.where(background[..., None], clear, rgb)
+        rgb_r = jnp.where(on_edge, rgb_r, clear[0])
+        rgb_g = jnp.where(on_edge, rgb_g, clear[1])
+        rgb_b = jnp.where(on_edge, rgb_b, clear[2])
+    rgb_r = jnp.where(background, clear[0], rgb_r)
+    rgb_g = jnp.where(background, clear[1], rgb_g)
+    rgb_b = jnp.where(background, clear[2], rgb_b)
     alpha = jnp.where(background, 1.0, alpha)
 
-    out = jnp.concatenate([rgb, alpha[..., None]], axis=-1)
-    return (jnp.clip(out, 0.0, 1.0) * 255.0 + 0.5).astype(jnp.uint8)
+    def to_u8(x):
+        return (jnp.clip(x, 0.0, 1.0) * 255.0 + 0.5).astype(jnp.uint8)
+
+    # single interleave at the very end: [4, P] -> [H, W, 4]
+    out = jnp.stack([to_u8(rgb_r), to_u8(rgb_g), to_u8(rgb_b), to_u8(alpha)])
+    return out.T.reshape(h, w, 4)
+
+
+def _sample_bilinear_planar(textures, textures_quad, textures_quad_t,
+                            tex_id, tw, th, u, v):
+    """Bilinear, wrap-repeat sampling in component form.
+
+    tex_id i32[P], tw/th f32[P] (actual texture size, pre-resolved into the
+    per-triangle row), u/v f32[P]; returns four f32[P] channel rows.
+    With the channel-major quad pack ``textures_quad_t`` (u8[16, T*S*S],
+    each texel's wrap-correct 2x2 RGBA neighborhood, built at scene load)
+    the four bilinear taps arrive in ONE channel-planar take; otherwise
+    falls back to four row gathers.
+    """
+    fx = u * tw - 0.5
+    fy = v * th - 0.5
+    x0 = jnp.floor(fx)
+    y0 = jnp.floor(fy)
+    tx = fx - x0
+    ty = fy - y0
+
+    def wrap(i, n):
+        return jnp.mod(i.astype(jnp.int32), jnp.maximum(n.astype(jnp.int32), 1))
+
+    if textures_quad_t is not None:
+        s = textures.shape[1]
+        x0i = wrap(x0, tw)
+        y0i = wrap(y0, th)
+        flat = (tex_id * s + y0i) * s + x0i
+        q = jax.lax.optimization_barrier(
+            jnp.take(textures_quad_t, flat, axis=1))          # [16, P] u8
+
+        def channel(c):
+            c00 = q[c].astype(jnp.float32)
+            c01 = q[c + 4].astype(jnp.float32)
+            c10 = q[c + 8].astype(jnp.float32)
+            c11 = q[c + 12].astype(jnp.float32)
+            top = c00 + (c01 - c00) * tx
+            bot = c10 + (c11 - c10) * tx
+            return (top + (bot - top) * ty) * (1.0 / 255.0)
+
+        return channel(0), channel(1), channel(2), channel(3)
+
+    if textures_quad is not None:
+        t, s = textures_quad.shape[0], textures_quad.shape[1]
+        x0i = wrap(x0, tw)
+        y0i = wrap(y0, th)
+        flat = (tex_id * s + y0i) * s + x0i
+        quad = textures_quad.reshape(t * s * s, 16)[flat]     # [P, 16]
+        q = quad.astype(jnp.float32) * (1.0 / 255.0)
+
+        def channel(c):
+            top = q[:, c] + (q[:, c + 4] - q[:, c]) * tx
+            bot = q[:, c + 8] + (q[:, c + 12] - q[:, c + 8]) * tx
+            return top + (bot - top) * ty
+
+        return channel(0), channel(1), channel(2), channel(3)
+
+    t, s = textures.shape[0], textures.shape[1]
+    tex_flat = textures.reshape(t * s * s, 4)
+    x0i, x1i = wrap(x0, tw), wrap(x0 + 1.0, tw)
+    y0i, y1i = wrap(y0, th), wrap(y0 + 1.0, th)
+
+    def fetch(yi, xi):
+        return tex_flat[(tex_id * s + yi) * s + xi].astype(jnp.float32) \
+            * (1.0 / 255.0)                                    # [P, 4]
+
+    c00 = fetch(y0i, x0i)
+    c01 = fetch(y0i, x1i)
+    c10 = fetch(y1i, x0i)
+    c11 = fetch(y1i, x1i)
+
+    def channel(c):
+        top = c00[:, c] + (c01[:, c] - c00[:, c]) * tx
+        bot = c10[:, c] + (c11[:, c] - c10[:, c]) * tx
+        return top + (bot - top) * ty
+
+    return channel(0), channel(1), channel(2), channel(3)

@@ -83,6 +83,11 @@ class RenderScene:
     # (y,x),(y,x+1),(y+1,x),(y+1,x+1) with per-texture wrap — ONE gather
     # fetches all 4 bilinear taps
     textures_quad: jax.Array   # u8[T,S,S,16]
+    # the same texel-quad data pre-transposed to channel-major [16, T*S*S]:
+    # the deferred shader gathers per-pixel taps with take(..., axis=1) so
+    # the result lands channel-planar ([16, P] rows) without a 2M-row
+    # transpose or lane-padded [P, 16] intermediates
+    textures_quad_t: jax.Array  # u8[16, T*S*S]
 
     # per-entity object-space AABB over its vertices (for culling)
     ent_aabb_min: jax.Array  # f32[N,3]
@@ -584,6 +589,8 @@ def _build_render_scene(
         textures=jnp.asarray(tex_arr),
         tex_size=jnp.asarray(tex_size),
         textures_quad=jnp.asarray(tex_quad),
+        textures_quad_t=jnp.asarray(
+            np.ascontiguousarray(tex_quad.reshape(-1, 16).T)),
         ent_aabb_min=jnp.asarray(ent_aabb_min),
         ent_aabb_max=jnp.asarray(ent_aabb_max),
         ent_has_mesh=jnp.asarray(ent_has_mesh),

@@ -29,9 +29,13 @@ def make_checked_step_fn(static, solver_iterations: int = 10, **physics_kwargs):
         err.throw()   # raises with a message when the state went bad
     """
 
-    def checked(state, inp):
+    from banggameengine_tpu.physics.step import scene_census
+
+    physics_kwargs = {**scene_census(static), **physics_kwargs}
+
+    def checked(state, inp, st):
         new_state, events = engine_step(
-            state, inp, static, solver_iterations, **physics_kwargs
+            state, inp, st, solver_iterations, **physics_kwargs
         )
         checkify.check(
             jnp.all(jnp.isfinite(new_state.pos)),
@@ -48,7 +52,9 @@ def make_checked_step_fn(static, solver_iterations: int = 10, **physics_kwargs):
         )
         return new_state, events
 
-    return jax.jit(checkify.checkify(checked))
+    jfn = jax.jit(checkify.checkify(checked))
+    static = jax.device_put(static)
+    return lambda state, inp: jfn(state, inp, static)
 
 
 def assert_state_healthy(state) -> None:

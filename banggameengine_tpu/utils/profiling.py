@@ -56,6 +56,65 @@ class StepTimer:
         )
 
 
+def device_sync(out) -> None:
+    """Hard synchronization with the device.
+
+    On tunneled runtimes (axon) ``jax.block_until_ready`` can return before
+    execution finishes; only a host readback truly syncs (one ~30 ms tunnel
+    round-trip).  Reads ONE element of the first leaf.
+    """
+    import numpy as np
+
+    import jax
+
+    leaf = jax.tree.leaves(out)[0]
+    np.asarray(leaf.ravel()[:1])
+
+
+def measure_throughput(fn, *args, calls: int = 20, warmup: int = 2) -> float:
+    """True per-call device seconds for a NON-donating jitted fn.
+
+    Queues ``calls`` executions back-to-back and amortizes a single
+    :func:`device_sync` readback over them — per-call ``block_until_ready``
+    timing is meaningless on async/tunneled runtimes, and a readback per
+    call would add the full tunnel round-trip to every sample.
+    """
+    import time as _time
+
+    out = None
+    for _ in range(max(warmup, 1)):
+        out = fn(*args)
+    device_sync(out)
+    t0 = _time.perf_counter()
+    for _ in range(calls):
+        out = fn(*args)
+    device_sync(out)
+    return (_time.perf_counter() - t0) / calls
+
+
+def measure_throughput_chained(fn, state, *rest, calls: int = 20,
+                               warmup: int = 2):
+    """Like :func:`measure_throughput` for donating step-like fns.
+
+    ``fn(state, *rest)`` must return the next state (or a tuple whose first
+    element is).  Returns (seconds_per_call, final_state).
+    """
+    import time as _time
+
+    def step(s):
+        out = fn(s, *rest)
+        return out[0] if isinstance(out, tuple) else out
+
+    for _ in range(max(warmup, 1)):
+        state = step(state)
+    device_sync(state)
+    t0 = _time.perf_counter()
+    for _ in range(calls):
+        state = step(state)
+    device_sync(state)
+    return (_time.perf_counter() - t0) / calls, state
+
+
 def trace_annotation(name: str):
     """Named region on the device trace timeline."""
     import jax.profiler

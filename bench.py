@@ -22,21 +22,15 @@ import sys
 import time
 
 
-def _time_dispatches(fn, args, *, warmup=2, reps=5):
-    """Median wall time of fn(*args) with device sync."""
-    import jax
+def _time_dispatches(fn, args, *, warmup=2, reps=10):
+    """Per-call device seconds (queued dispatches, ONE final readback).
 
-    for _ in range(warmup):
-        out = fn(*args)
-        jax.block_until_ready(out)
-    times = []
-    for _ in range(reps):
-        t0 = time.perf_counter()
-        out = fn(*args)
-        jax.block_until_ready(out)
-        times.append(time.perf_counter() - t0)
-    times.sort()
-    return times[len(times) // 2], out
+    ``block_until_ready`` does not synchronize on tunneled runtimes; a
+    readback per call would add the tunnel round-trip to every sample."""
+    from banggameengine_tpu.utils.profiling import measure_throughput
+
+    t = measure_throughput(fn, *args, calls=reps, warmup=warmup)
+    return t, fn(*args)
 
 
 def bench_manyworld(num_worlds=1000, bodies_per_world=8, steps_per_dispatch=50):
@@ -61,31 +55,17 @@ def bench_manyworld(num_worlds=1000, bodies_per_world=8, steps_per_dispatch=50):
         static, mesh, num_steps=steps_per_dispatch
     )
 
-    def run(s):
-        return step(s, binp)
+    from banggameengine_tpu.utils.profiling import measure_throughput_chained
 
-    # donation invalidates the arg; re-donate the output each rep
-    import jax
-
-    t_total = None
-    for phase in ("warmup", "timed"):
-        reps = 2 if phase == "warmup" else 5
-        times = []
-        for _ in range(reps):
-            t0 = time.perf_counter()
-            bstate = run(bstate)
-            jax.block_until_ready(bstate)
-            times.append(time.perf_counter() - t0)
-        if phase == "timed":
-            times.sort()
-            t_total = times[len(times) // 2]
-
+    t_total, _ = measure_throughput_chained(step, bstate, binp,
+                                            calls=5, warmup=2)
     world_steps_per_sec = num_worlds * steps_per_dispatch / t_total
     n_chips = len(jax.devices())
     value = world_steps_per_sec / n_chips
     return {
         "metric": f"world-steps/sec/chip ({num_worlds} worlds x "
-        f"{bodies_per_world + 2} bodies, lockstep x{steps_per_dispatch})",
+        f"[{bodies_per_world} boxes + character + trigger], "
+        f"lockstep x{steps_per_dispatch})",
         "value": round(value, 1),
         "unit": "world-steps/sec/chip",
         "vs_baseline": round(value / 10000.0, 3),
@@ -99,19 +79,13 @@ def bench_demo(steps_per_dispatch=100):
     from banggameengine_tpu.state import InputFrame
     from __graft_entry__ import _load_demo_scene
 
+    from banggameengine_tpu.utils.profiling import measure_throughput_chained
+
     state, static = _load_demo_scene()
     run = make_multi_step_fn(static, steps_per_dispatch)
     inp = InputFrame.zero()
-
-    times = []
-    for i in range(7):
-        t0 = time.perf_counter()
-        state = run(state, inp)
-        jax.block_until_ready(state)
-        if i >= 2:
-            times.append(time.perf_counter() - t0)
-    times.sort()
-    value = steps_per_dispatch / times[len(times) // 2]
+    t, _ = measure_throughput_chained(run, state, inp, calls=5, warmup=2)
+    value = steps_per_dispatch / t
     return {
         "metric": "demo-scene headless steps/sec (single world)",
         "value": round(value, 1),
@@ -129,20 +103,15 @@ def bench_stress(num_bodies=10000, steps_per_dispatch=50):
     from banggameengine_tpu.scene.synthetic import build_falling_boxes
     from banggameengine_tpu.state import InputFrame
 
+    from banggameengine_tpu.utils.profiling import measure_throughput_chained
+
     state, static = build_falling_boxes(num_bodies)
     run = make_multi_step_fn(
         static, steps_per_dispatch, broadphase="pallas", max_neighbors=8,
     )
     inp = InputFrame.zero()
-    times = []
-    for i in range(6):
-        t0 = time.perf_counter()
-        state = run(state, inp)
-        jax.block_until_ready(state)
-        if i >= 2:
-            times.append(time.perf_counter() - t0)
-    times.sort()
-    value = steps_per_dispatch / times[len(times) // 2]
+    t, _ = measure_throughput_chained(run, state, inp, calls=4, warmup=2)
+    value = steps_per_dispatch / t
     return {
         "metric": f"physics stress steps/sec ({num_bodies} falling boxes)",
         "value": round(value, 1),
@@ -151,13 +120,7 @@ def bench_stress(num_bodies=10000, steps_per_dispatch=50):
     }
 
 
-def _render_setup(width, height, depth_only):
-    import jax.numpy as jnp
-
-    from banggameengine_tpu.render.camera import Camera
-    from banggameengine_tpu.render.pipeline import make_render_fn
-    from __graft_entry__ import _load_demo_scene
-
+def _load_built_demo():
     try:
         import os
 
@@ -168,23 +131,34 @@ def _render_setup(width, height, depth_only):
 
         assets = os.environ.get("BANG_ASSETS_DIR", "/root/reference/assets")
         desc = parse_scene_json(os.path.join(assets, "scenes/demo.json"))
-        built = build_scene(
+        return build_scene(
             desc, ResourceManager(assets_root=assets),
             load_physics_config(os.path.join(assets, "config/physics.json")),
         )
-        render_scene, world = built.render, built.initial_state.world
-        static, state = built.static, built.initial_state
     except Exception:
         raise SystemExit("render bench needs the demo assets mounted")
 
+
+def _render_setup(width, height, depth_only):
+    import jax
+    import jax.numpy as jnp
+
+    from banggameengine_tpu.render.camera import Camera
+    from banggameengine_tpu.render.pipeline import make_render_fn
+
+    built = _load_built_demo()
     cam = Camera()
     cam.position[:] = (0.0, 4.0, -10.5)
     cam.set_yaw_pitch(3.14159 / 2, -0.12)
-    rfn = make_render_fn(render_scene, width, height,
+    rfn = make_render_fn(built.render, width, height,
                          bin_capacity=2048, depth_only=depth_only)
-    args = (world, cam.view_matrix(), cam.proj_matrix(width / height),
-            jnp.asarray(cam.position))
-    return rfn, args, static, state
+    args = (
+        jax.device_put(built.initial_state.world),
+        jax.device_put(jnp.asarray(cam.view_matrix())),
+        jax.device_put(jnp.asarray(cam.proj_matrix(width / height))),
+        jax.device_put(jnp.asarray(cam.position)),
+    )
+    return rfn, args, built.static, built.initial_state
 
 
 def bench_cull(width=1920, height=1080):
@@ -200,29 +174,31 @@ def bench_cull(width=1920, height=1080):
 
 
 def bench_frame(width=1920, height=1080):
+    """Driver config #4: the interactive tick — ONE fused donated dispatch
+    (engine step + shaded 1080p frame), the loop ``play_demo`` runs."""
     import jax
+    import jax.numpy as jnp
 
-    from banggameengine_tpu.engine import make_step_fn
+    from banggameengine_tpu.render.camera import Camera
+    from banggameengine_tpu.render.pipeline import make_frame_fn
     from banggameengine_tpu.state import InputFrame
 
-    rfn, args, static, state = _render_setup(width, height, depth_only=False)
-    sfn = make_step_fn(static, donate=False)
-    inp = InputFrame.zero()
+    built = _load_built_demo()
+    cam = Camera()
+    cam.position[:] = (0.0, 4.0, -10.5)
+    cam.set_yaw_pitch(3.14159 / 2, -0.12)
+    ffn = make_frame_fn(built, width, height)
+    state = jax.device_put(built.initial_state)
+    inp = jax.tree.map(jax.device_put, InputFrame.zero())
+    view = jax.device_put(jnp.asarray(cam.view_matrix()))
+    proj = jax.device_put(jnp.asarray(cam.proj_matrix(width / height)))
+    cam_pos = jax.device_put(jnp.asarray(cam.position))
 
-    def frame(s):
-        s2, _ = sfn(s, inp)
-        img = rfn(s2.world, *args[1:])
-        return s2, img
+    from banggameengine_tpu.utils.profiling import measure_throughput_chained
 
-    times = []
-    for i in range(7):
-        t0 = time.perf_counter()
-        state, img = frame(state)
-        jax.block_until_ready(img)
-        if i >= 2:
-            times.append(time.perf_counter() - t0)
-    times.sort()
-    value = 1.0 / times[len(times) // 2]
+    t, _ = measure_throughput_chained(
+        ffn, state, inp, view, proj, cam_pos, calls=10, warmup=2)
+    value = 1.0 / t
     return {
         "metric": f"full frame loop frames/sec (sim+shaded {width}x{height})",
         "value": round(value, 1),

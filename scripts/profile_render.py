@@ -30,21 +30,15 @@ from banggameengine_tpu.render.pipeline import make_render_fn
 from banggameengine_tpu.render.shading import LightParams, shade_visibility
 
 
-def timeit(name, fn, *args, reps=5):
-    out = fn(*args)
-    jax.block_until_ready(out)
-    out = fn(*args)
-    jax.block_until_ready(out)
-    times = []
-    for _ in range(reps):
-        t0 = time.perf_counter()
-        out = fn(*args)
-        jax.block_until_ready(out)
-        times.append(time.perf_counter() - t0)
-    times.sort()
-    med = times[len(times) // 2] * 1e3
-    print(f"{name:10s} {med:8.3f} ms  ({1e3 / med:6.1f} /s)")
-    return out, med
+def timeit(name, fn, *args, reps=10):
+    """Queued-dispatch throughput with ONE final readback: per-call
+    ``block_until_ready`` does not synchronize on tunneled runtimes."""
+    from banggameengine_tpu.utils.profiling import measure_throughput
+
+    sec = measure_throughput(fn, *args, calls=reps)
+    med = sec * 1e3
+    print(f"{name:10s} {med:8.3f} ms  ({1e3 / med:6.1f} /s)", flush=True)
+    return fn(*args), med
 
 
 def main():
@@ -67,20 +61,28 @@ def main():
     cam = Camera()
     cam.position[:] = (0.0, 4.0, -10.5)
     cam.set_yaw_pitch(3.14159 / 2, -0.12)
-    view = cam.view_matrix()
-    proj = cam.proj_matrix(width / height)
-    cam_pos = jnp.asarray(cam.position)
-    light = LightParams.default()
+    # device-resident args: a real frame loop keeps these on device, and
+    # numpy args would otherwise pay a host->device upload round-trip per
+    # timed call (dominates at tunnel latencies)
+    view = jax.device_put(jnp.asarray(cam.view_matrix()))
+    proj = jax.device_put(jnp.asarray(cam.proj_matrix(width / height)))
+    cam_pos = jax.device_put(jnp.asarray(cam.position))
+    world = jax.device_put(world)
+    light = jax.tree.map(jax.device_put, LightParams.default())
+    # every jitted stage takes the render scene as an ARGUMENT: captured
+    # arrays embed as executable constants, which cost a flat ~32 ms host
+    # round-trip per call on the tunneled runtime (find_constants.py)
+    rs_dev = jax.device_put(rs)
 
     @jax.jit
-    def stage_bin(world_mats):
+    def stage_bin(r, world_mats):
         vis_ent = entity_frustum_mask(
-            rs.ent_aabb_min, rs.ent_aabb_max, rs.ent_has_mesh,
+            r.ent_aabb_min, r.ent_aabb_max, r.ent_has_mesh,
             world_mats, view, proj)
-        tri_entity = rs.v_entity[::3]
-        tri_valid = rs.tri_valid & vis_ent[tri_entity]
+        tri_entity = r.v_entity[::3]
+        tri_valid = r.tri_valid & vis_ent[tri_entity]
         world_pos, clip = rz.transform_vertices(
-            rs.v_pos, rs.v_entity, world_mats, view, proj)
+            r.v_pos, r.v_entity, world_mats, view, proj)
         t = clip.shape[0] // 3
         clip_tri = clip.reshape(t, 3, 4)
         sub_clip, sub_bary, sub_valid = rz.clip_near_plane(clip_tri, tri_valid)
@@ -95,67 +97,68 @@ def main():
 
     def make_raster(heavy):
         @jax.jit
-        def f(world_mats):
+        def f(r, world_mats):
             vis_ent = entity_frustum_mask(
-                rs.ent_aabb_min, rs.ent_aabb_max, rs.ent_has_mesh,
+                r.ent_aabb_min, r.ent_aabb_max, r.ent_has_mesh,
                 world_mats, view, proj)
-            tri_entity = rs.v_entity[::3]
-            tri_valid = rs.tri_valid & vis_ent[tri_entity]
+            tri_entity = r.v_entity[::3]
+            tri_valid = r.tri_valid & vis_ent[tri_entity]
             _, clip = rz.transform_vertices(
-                rs.v_pos, rs.v_entity, world_mats, view, proj)
+                r.v_pos, r.v_entity, world_mats, view, proj)
             vis, ovf = rz.rasterize(clip, tri_valid, width, height,
                                     bin_capacity=2048, heavy_tiles=heavy)
             return vis.depth
         return f
 
-    (counts, ovf), _ = timeit("bin", stage_bin, world.world_mat)
+    (counts, ovf), _ = timeit("bin", stage_bin, rs_dev, world)
     import numpy as np
     c = np.asarray(counts)
     print(f"   tiles={c.size} max_count={c.max()} "
           f">128: {(c > 128).sum()}  overflow={int(ovf)}")
-    timeit("light", make_raster(0), world.world_mat)
-    timeit("full_vis", make_raster(64), world.world_mat)
+    timeit("light", make_raster(0), rs_dev, world)
+    timeit("full_vis", make_raster(64), rs_dev, world)
 
     depth_fn = make_render_fn(rs, width, height, bin_capacity=2048,
                               depth_only=True)
-    _, t_depth = timeit("depth", depth_fn, world.world_mat, view, proj,
+    _, t_depth = timeit("depth", depth_fn, world, view, proj,
                         cam_pos)
 
     # fixed visibility buffer for shading isolation
     @jax.jit
-    def vis_and_attrs(world_mats):
+    def vis_and_attrs(r, world_mats):
         _, clip = rz.transform_vertices(
-            rs.v_pos, rs.v_entity, world_mats, view, proj)
+            r.v_pos, r.v_entity, world_mats, view, proj)
         vis_ent = entity_frustum_mask(
-            rs.ent_aabb_min, rs.ent_aabb_max, rs.ent_has_mesh,
+            r.ent_aabb_min, r.ent_aabb_max, r.ent_has_mesh,
             world_mats, view, proj)
-        tri_valid = rs.tri_valid & vis_ent[rs.v_entity[::3]]
+        tri_valid = r.tri_valid & vis_ent[r.v_entity[::3]]
         vis, _ = rz.rasterize(clip, tri_valid, width, height,
                               bin_capacity=2048)
         world_pos, _ = rz.transform_vertices(
-            rs.v_pos, rs.v_entity, world_mats, view, proj)
+            r.v_pos, r.v_entity, world_mats, view, proj)
         nm = math3d.normal_matrix(world_mats)
-        world_nrm = rz.transform_normals(rs.v_nrm, rs.v_entity, nm)
+        world_nrm = rz.transform_normals(r.v_nrm, r.v_entity, nm)
         inv_w = 1.0 / jnp.where(jnp.abs(clip[:, 3]) > 1e-9, clip[:, 3], 1e-9)
         return vis, world_pos, world_nrm, inv_w
 
     vis, world_pos, world_nrm, inv_w = jax.block_until_ready(
-        vis_and_attrs(world.world_mat))
+        vis_and_attrs(rs_dev, world))
 
     @jax.jit
-    def stage_shade(tri_id, bary, wp, wn, iw):
+    def stage_shade(r, tri_id, b1, b2, wp, wn, iw):
         return shade_visibility(
-            tri_id, bary, wp, wn, rs.v_uv, iw, rs.tri_material,
-            rs.mat_base_tint, rs.mat_uv_scale, rs.mat_spec_params,
-            rs.mat_spec_color, rs.mat_tex, rs.textures, rs.tex_size,
+            tri_id, b1, b2, wp, wn, r.v_uv, iw, r.tri_material,
+            r.mat_base_tint, r.mat_uv_scale, r.mat_spec_params,
+            r.mat_spec_color, r.mat_tex, r.textures, r.tex_size,
             cam_pos, light,
-            textures_quad=getattr(rs, "textures_quad", None))
+            textures_quad=getattr(r, "textures_quad", None),
+            textures_quad_t=getattr(r, "textures_quad_t", None))
 
-    timeit("shade", stage_shade, vis.tri_id, vis.bary, world_pos,
-           world_nrm, inv_w)
+    timeit("shade", stage_shade, rs_dev, vis.tri_id, vis.b1, vis.b2,
+           world_pos, world_nrm, inv_w)
 
     frame_fn = make_render_fn(rs, width, height, bin_capacity=2048)
-    _, t_frame = timeit("frame", frame_fn, world.world_mat, view, proj,
+    _, t_frame = timeit("frame", frame_fn, world, view, proj,
                         cam_pos)
     print(f"depth fps {1e3 / t_depth:.1f}   frame fps {1e3 / t_frame:.1f}")
 
