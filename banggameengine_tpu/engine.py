@@ -2,9 +2,9 @@
 
 ``step = transform propagation + physics + trigger events`` — the device-side
 image of one ``Application::Update(fixedDt)`` tick (``Application.cpp:153-297``
-minus host-side hotkeys/HUD).  ``make_step_fn`` closes over the StaticScene so
-XLA treats topology as compile-time constants; the returned function is pure
-``(WorldState, InputFrame) -> (WorldState, StepEvents)`` and composes with
+minus host-side hotkeys/HUD).  ``make_step_fn`` binds a StaticScene (passed
+per call as a traced argument — never captured) and returns a pure
+``(WorldState, InputFrame) -> (WorldState, StepEvents)`` that composes with
 ``jax.jit``, ``jax.vmap`` (many worlds) and ``shard_map`` (device meshes).
 """
 
@@ -73,11 +73,12 @@ def make_step_fn(
     ``donate=True`` donates the WorldState buffers so stepping is in-place in
     HBM (no per-step reallocation).
 
-    The static scene is passed to the executable as a *traced argument*, not
-    captured: embedded constant buffers cost a flat ~32 ms host round-trip
-    per execution on tunneled TPU runtimes, which would dwarf the step
-    itself (see ``scripts/find_constants.py``).  The host-side scene census
-    (dead-stage skipping) still runs here, where the scene is concrete.
+    The static scene is passed to the executable as a *traced argument*,
+    not captured: captured device arrays are re-fetched from the host on
+    every dispatch on tunneled TPU runtimes (~30 ms flat, dwarfing the
+    step itself — ``scripts/find_constants.py``).  The host-side scene
+    census (dead-stage skipping) still runs here, where the scene is
+    concrete.
     """
     from banggameengine_tpu.physics.step import scene_census
 

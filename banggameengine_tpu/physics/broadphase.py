@@ -71,28 +71,21 @@ def build_neighbor_lists_dense(
     ov = sh.aabb_overlap(mn[:, None], mx[:, None], mn[None, :], mx[None, :],
                          margin=aabb_margin)
     ov &= pair_mask
-    # NOTE the [N,N] matrix still contains the i==i diagonal here.  Every
-    # all-constant formulation of the self-pair mask (~eye, iota compares,
-    # diagonal scatters, ×0 tricks) gets constant-folded by XLA into a
-    # pred[N,N] literal, and every executed constant buffer costs a flat
-    # ~32 ms host round-trip per dispatch on tunneled runtimes
-    # (scripts/find_constants.py).  So compact with one extra slot and
-    # drop the self-pair AFTER compaction, where the comparison runs
-    # against the *traced* neighbor ids and cannot fold.
+    # XLA folds ~eye into a pred[N,N] literal baked in the executable;
+    # small baked literals are fine — unlike CAPTURED device arrays, they
+    # are not re-fetched from the host per dispatch (the step runs at
+    # 3.2 ms/dispatch with one embedded; see scripts/find_constants.py)
+    ov &= ~jnp.eye(n, dtype=bool)
 
     # sort-free stable compaction (cumsum destinations + one-hot matmul)
     from banggameengine_tpu.physics.solver import compaction_matrix
 
-    k = max_neighbors + 1                 # self-pair occupies one slot
-    sel, valid, counts = compaction_matrix(ov, k)
+    sel, valid, counts = compaction_matrix(ov, max_neighbors)
     ids_f = jnp.einsum(
         "nmc,m->nc", sel, jnp.arange(n, dtype=jnp.float32)
     )
     idx = jnp.where(valid, ids_f.astype(jnp.int32), -1)
-    self_id = jnp.arange(n, dtype=jnp.int32)[:, None]
-    valid &= idx != self_id
-    idx = jnp.where(valid, idx, -1)
-    overflow = jnp.sum(jnp.maximum(counts - k, 0)).astype(jnp.int32)
+    overflow = jnp.sum(jnp.maximum(counts - max_neighbors, 0)).astype(jnp.int32)
     return NeighborLists(idx=idx, valid=valid,
                          cell_overflow=jnp.int32(0), nbr_overflow=overflow)
 

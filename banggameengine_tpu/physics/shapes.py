@@ -23,11 +23,11 @@ def box_corners(pos: Array, quat: Array, half: Array) -> Array:
     """World-space corners of an oriented box. [..., 8, 3].
 
     The 8 sign combinations (corner k flips axis a iff bit a of k) are built
-    from the *traced* half extents rather than a constant [8,3] table: a
-    captured table embeds as an executable constant, and every executed
-    constant buffer costs a flat ~32 ms host round-trip per dispatch on
-    tunneled TPU runtimes (scripts/find_constants.py).  XLA cannot fold a
-    subgraph rooted at a traced value.
+    from the *traced* half extents rather than a module-level jnp table: a
+    module-level jnp array is a CAPTURED device array, which tunneled TPU
+    runtimes re-fetch from the host on every dispatch (~30 ms flat; see
+    scripts/find_constants.py).  Trace-time literals would be fine, but
+    deriving from traced values avoids the hazard class entirely.
     """
     hx, hy, hz = half[..., 0], half[..., 1], half[..., 2]
     local = jnp.stack(

@@ -25,8 +25,8 @@ def entity_frustum_mask(
     n = ent_aabb_min.shape[0]
     mn, mx = ent_aabb_min, ent_aabb_max
     # 8 corners [N,8,3], built from the traced min/max per axis rather than
-    # a constant [8,3] selector table (embedded constants cost a flat host
-    # round-trip per dispatch on tunneled runtimes — find_constants.py)
+    # a selector-table constant (captured device arrays are re-fetched from
+    # the host per dispatch on tunneled runtimes — find_constants.py)
     ax, ay, az = mn[:, 0], mn[:, 1], mn[:, 2]
     bx, by, bz = mx[:, 0], mx[:, 1], mx[:, 2]
     corners = jnp.stack(

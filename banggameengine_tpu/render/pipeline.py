@@ -70,8 +70,14 @@ def render_frame(
     world_nrm = rz.transform_normals(rs.v_nrm, rs.v_entity, normal_mats)
     inv_w = 1.0 / jnp.where(jnp.abs(clip[:, 3]) > 1e-9, clip[:, 3], 1e-9)
 
+    # materialize the visibility planes ONCE before deferred shading —
+    # their untile transposes would otherwise be re-fused (recomputed)
+    # into every shading consumer
+    vis_tri_id, vis_b1, vis_b2 = jax.lax.optimization_barrier(
+        (vis.tri_id, vis.b1, vis.b2))
+
     frame = shade_visibility(
-        vis.tri_id, vis.b1, vis.b2,
+        vis_tri_id, vis_b1, vis_b2,
         world_pos, world_nrm, rs.v_uv, inv_w,
         rs.tri_material,
         rs.mat_base_tint, rs.mat_uv_scale, rs.mat_spec_params,
@@ -93,9 +99,9 @@ def make_render_fn(render_scene, width: int, height: int,
     """Jitted frame renderer bound to the (static) render scene.
 
     The scene arrays enter the executable as traced arguments rather than
-    captured constants — embedded constants cost a flat ~32 ms host
-    round-trip per call on tunneled TPU runtimes
-    (``scripts/find_constants.py``)."""
+    captured constants — captured device arrays are re-fetched from the
+    host on every dispatch on tunneled TPU runtimes (~30 ms flat;
+    ``scripts/find_constants.py``)."""
     fn = functools.partial(
         render_frame,
         width=width, height=height,

@@ -443,20 +443,32 @@ def rasterize(clip, tri_valid, width: int, height: int,
     all_tiles = jnp.arange(n_tiles, dtype=jnp.int32)
     zb, tid, b1, b2 = raster(gathered(ids[:, :kl]), all_tiles, tx, ty)
 
-    # heavy pass: fullest tiles re-rastered at full capacity
+    # heavy pass: fullest tiles re-rastered at full capacity.  Behind a
+    # lax.cond so frames where no tile exceeds the light capacity (most
+    # frames — density is skewed only when a dense mesh fills few tiles)
+    # skip the whole re-raster at RUNTIME, not just mask its writes.
     h = min(heavy_tiles, n_tiles)
     if ids.shape[1] > kl and h > 0:
         heavy_sel = jax.lax.top_k(counts, h)[1]      # tile indices
-        zb_h, tid_h, b1_h, b2_h = raster(
-            gathered(ids[heavy_sel]), heavy_sel.astype(jnp.int32),
-            tx[heavy_sel], ty[heavy_sel]
+
+        def heavy_branch(bufs):
+            zb, tid, b1, b2 = bufs
+            zb_h, tid_h, b1_h, b2_h = raster(
+                gathered(ids[heavy_sel]), heavy_sel.astype(jnp.int32),
+                tx[heavy_sel], ty[heavy_sel]
+            )
+            # only overwrite tiles that actually exceeded the light capacity
+            needs = (counts[heavy_sel] > kl)[:, None, None]
+            zb = zb.at[heavy_sel].set(jnp.where(needs, zb_h, zb[heavy_sel]))
+            tid = tid.at[heavy_sel].set(jnp.where(needs, tid_h, tid[heavy_sel]))
+            b1 = b1.at[heavy_sel].set(jnp.where(needs, b1_h, b1[heavy_sel]))
+            b2 = b2.at[heavy_sel].set(jnp.where(needs, b2_h, b2[heavy_sel]))
+            return zb, tid, b1, b2
+
+        zb, tid, b1, b2 = jax.lax.cond(
+            jnp.any(counts > kl), heavy_branch, lambda bufs: bufs,
+            (zb, tid, b1, b2),
         )
-        # only overwrite tiles that actually exceeded the light capacity
-        needs = (counts[heavy_sel] > kl)[:, None, None]
-        zb = zb.at[heavy_sel].set(jnp.where(needs, zb_h, zb[heavy_sel]))
-        tid = tid.at[heavy_sel].set(jnp.where(needs, tid_h, tid[heavy_sel]))
-        b1 = b1.at[heavy_sel].set(jnp.where(needs, b1_h, b1[heavy_sel]))
-        b2 = b2.at[heavy_sel].set(jnp.where(needs, b2_h, b2[heavy_sel]))
         # light-capacity overflow not covered by the heavy pass
         over_light = jnp.maximum(counts - kl, 0).sum() - jnp.maximum(
             counts[heavy_sel] - kl, 0
