@@ -73,8 +73,8 @@ def render_frame(
     # materialize the visibility planes ONCE before deferred shading —
     # their untile transposes would otherwise be re-fused (recomputed)
     # into every shading consumer
-    vis_tri_id, vis_b1, vis_b2 = jax.lax.optimization_barrier(
-        (vis.tri_id, vis.b1, vis.b2))
+    vis_tri_id, vis_b1, vis_b2, vis_depth = jax.lax.optimization_barrier(
+        (vis.tri_id, vis.b1, vis.b2, vis.depth))
 
     frame = shade_visibility(
         vis_tri_id, vis_b1, vis_b2,
@@ -87,6 +87,7 @@ def render_frame(
         wireframe=wireframe,
         textures_quad=getattr(rs, "textures_quad", None),
         textures_quad_t=getattr(rs, "textures_quad_t", None),
+        vis_depth=vis_depth, view=view, proj=proj,
     )
     if return_depth:
         return frame, vis.depth
@@ -120,12 +121,14 @@ def make_render_fn(render_scene, width: int, height: int,
 def make_frame_fn(built, width: int, height: int,
                   solver_iterations: int = 10, bin_capacity: int = 2048,
                   **physics_kwargs):
-    """One fused, donated dispatch: engine step + shaded frame.
+    """The interactive tick: engine step + shaded frame, one host call.
 
-    The interactive loop's whole tick (``Application::Update`` +
-    ``Renderer::BeginFrame``..``bgfx::frame()``) as a single executable —
-    no host round-trip between sim and render, WorldState buffers donated
-    in place.  Returns ``call(state, inp, view, proj, cam_pos, light=None)
+    Two queued device dispatches (step with donated WorldState, then the
+    renderer on the new world matrices) with NO host synchronization in
+    between — the async runtime pipelines them.  Measured on the chip this
+    beats a single fused executable by ~30% (XLA schedules the merged
+    step+render program worse than the two tuned programs).  Returns
+    ``call(state, inp, view, proj, cam_pos, light=None)
     -> (new_state, u8[H,W,4])``.
     """
     from banggameengine_tpu.engine import engine_step
@@ -133,18 +136,23 @@ def make_frame_fn(built, width: int, height: int,
 
     kwargs = {**scene_census(built.static), **physics_kwargs}
 
-    def frame(state, inp, st, rs, view, proj, cam_pos, light):
+    def step(state, inp, st):
         s2, _ev = engine_step(state, inp, st, solver_iterations, **kwargs)
-        img = render_frame(rs, s2.world, view, proj, cam_pos, light,
-                           width=width, height=height,
-                           bin_capacity=bin_capacity)
-        return s2, img
+        return s2
 
-    jfn = jax.jit(frame, donate_argnums=(0,))
+    def render(rs, world, view, proj, cam_pos, light):
+        return render_frame(rs, world, view, proj, cam_pos, light,
+                            width=width, height=height,
+                            bin_capacity=bin_capacity)
+
+    jstep = jax.jit(step, donate_argnums=(0,))
+    jrender = jax.jit(render)
     st = jax.device_put(built.static)
     rs = jax.device_put(built.render)
 
     def call(state, inp, view, proj, cam_pos, light=None):
-        return jfn(state, inp, st, rs, view, proj, cam_pos, light)
+        s2 = jstep(state, inp, st)
+        img = jrender(rs, s2.world, view, proj, cam_pos, light)
+        return s2, img
 
     return call

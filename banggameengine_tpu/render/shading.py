@@ -147,6 +147,9 @@ def shade_visibility(
     wireframe: bool = False,
     textures_quad: Array | None = None,
     textures_quad_t: Array | None = None,
+    vis_depth: Array | None = None,   # f32[H,W] NDC z (enables wp
+    view: Array | None = None,        # reconstruction from depth — drops
+    proj: Array | None = None,        # 9 interpolated channels)
 ) -> Array:
     """Shade every pixel of the visibility buffer.  Returns u8[H,W,4].
 
@@ -174,28 +177,50 @@ def shade_visibility(
     b2 = vis_b2.reshape(p)
     b0 = 1.0 - b1 - b2
 
-    # per-triangle super-row, channel-major [39, T]:
-    #   0..26  corner attrs (3 corners x [wp.xyz, nrm.xyz, uv, inv_w])
-    #   27..30 material base tint rgba      31..32 material uv scale
-    #   33..35 material spec color          36     texture id
-    #   37..38 texture (w, h)
-    # (building it is T-sized work — trivial next to the P-sized gather)
-    packed = jnp.concatenate(
-        [world_pos, world_nrm, v_uv, inv_w[:, None]], axis=-1
-    )                                                  # [V, 9]
-    packed_tri = packed.reshape(-1, 27)                # [T, 27]
+    # wp reconstruction from the depth plane (exact for planar triangles:
+    # NDC z is affine in screen space) drops 9 interpolated channels; uv
+    # is pre-scaled to TEXEL units per corner (bakes the material uv scale
+    # AND texture size into the T-sized table), dropping 2 more.
+    reconstruct_wp = (vis_depth is not None and view is not None
+                      and proj is not None)
+
+    mat_twh = tex_size[mat_tex].astype(jnp.float32)    # [M, 2]
+    t = tri_material.shape[0]
+    uv_texel = (
+        v_uv.reshape(t, 3, 2)
+        * (mat_uv_scale * mat_twh)[tri_material][:, None, :]
+    ).reshape(t * 3, 2)                                # [V, 2] texel units
+
+    if reconstruct_wp:
+        # per-triangle super-row, channel-major [28, T]:
+        #   0..17  corner attrs (3 corners x [nrm.xyz, u_tex, v_tex, inv_w])
+        #   18..21 material base tint rgba   22..24 material spec color
+        #   25     texture id                26..27 texture (w, h)
+        packed = jnp.concatenate(
+            [world_nrm, uv_texel, inv_w[:, None]], axis=-1
+        )                                              # [V, 6]
+        packed_tri = packed.reshape(-1, 18)            # [T, 18]
+        span, uvo = 6, 3
+        m_tint, m_spec, m_tex0, m_tw = 18, 22, 25, 26
+    else:
+        # [37, T]: 0..26 corners x [wp.xyz, nrm.xyz, u_tex, v_tex, inv_w]
+        packed = jnp.concatenate(
+            [world_pos, world_nrm, uv_texel, inv_w[:, None]], axis=-1
+        )                                              # [V, 9]
+        packed_tri = packed.reshape(-1, 27)            # [T, 27]
+        span, uvo = 9, 6
+        m_tint, m_spec, m_tex0, m_tw = 27, 31, 34, 35
     mat_packed = jnp.concatenate(
-        [mat_base_tint, mat_uv_scale, mat_spec_color,
-         mat_tex[:, None].astype(jnp.float32),
-         tex_size[mat_tex].astype(jnp.float32)], axis=-1,
-    )                                                  # [M, 12]
+        [mat_base_tint, mat_spec_color,
+         mat_tex[:, None].astype(jnp.float32), mat_twh], axis=-1,
+    )                                                  # [M, 10]
     tri_row_t = jnp.concatenate(
-        [packed_tri, mat_packed[tri_material]], axis=-1).T  # [39, T]
+        [packed_tri, mat_packed[tri_material]], axis=-1).T  # [C, T]
 
     a = jax.lax.optimization_barrier(
-        jnp.take(tri_row_t, tid, axis=1))              # [39, P] ONE gather
+        jnp.take(tri_row_t, tid, axis=1))              # [C, P] ONE gather
 
-    iw0, iw1, iw2 = a[8], a[17], a[26]
+    iw0, iw1, iw2 = a[span - 1], a[2 * span - 1], a[3 * span - 1]
     w0 = b0 * iw0
     w1 = b1 * iw1
     w2 = b2 * iw2
@@ -204,20 +229,37 @@ def shade_visibility(
 
     def interp(c):
         """Perspective-correct interpolation of per-corner channel c."""
-        return (a[c] * w0 + a[c + 9] * w1 + a[c + 18] * w2) * inv_den
+        return (a[c] * w0 + a[c + span] * w1 + a[c + 2 * span] * w2) * inv_den
 
-    wpx, wpy, wpz = interp(0), interp(1), interp(2)
-    nx, ny, nz = interp(3), interp(4), interp(5)
-    u, v = interp(6), interp(7)
+    if reconstruct_wp:
+        # unproject (ndc_x, ndc_y, ndc_z, 1) through inv(proj @ view)
+        m = jnp.linalg.inv(jnp.matmul(proj, view))
+        px = (jax.lax.broadcasted_iota(jnp.float32, (h, w), 1).reshape(p)
+              + 0.5)
+        py = (jax.lax.broadcasted_iota(jnp.float32, (h, w), 0).reshape(p)
+              + 0.5)
+        ndc_x = px * (2.0 / w) - 1.0
+        ndc_y = 1.0 - py * (2.0 / h)
+        ndc_z = vis_depth.reshape(p)
+        hx = m[0, 0] * ndc_x + m[0, 1] * ndc_y + m[0, 2] * ndc_z + m[0, 3]
+        hy = m[1, 0] * ndc_x + m[1, 1] * ndc_y + m[1, 2] * ndc_z + m[1, 3]
+        hz = m[2, 0] * ndc_x + m[2, 1] * ndc_y + m[2, 2] * ndc_z + m[2, 3]
+        hw = m[3, 0] * ndc_x + m[3, 1] * ndc_y + m[3, 2] * ndc_z + m[3, 3]
+        inv_hw = 1.0 / jnp.where(jnp.abs(hw) > 1e-12, hw, 1e-12)
+        wpx, wpy, wpz = hx * inv_hw, hy * inv_hw, hz * inv_hw
+        nx, ny, nz = interp(0), interp(1), interp(2)
+    else:
+        wpx, wpy, wpz = interp(0), interp(1), interp(2)
+        nx, ny, nz = interp(3), interp(4), interp(5)
+    u = interp(uvo)
+    v = interp(uvo + 1)
 
-    tint_r, tint_g, tint_b, tint_a = a[27], a[28], a[29], a[30]
-    uv_sx, uv_sy = a[31], a[32]
-    spec_r, spec_g, spec_b = a[33], a[34], a[35]
-    tex_id = a[36].astype(jnp.int32)
-    tex_w, tex_h = a[37], a[38]
+    tint_r, tint_g, tint_b, tint_a = (a[m_tint], a[m_tint + 1],
+                                      a[m_tint + 2], a[m_tint + 3])
+    spec_r, spec_g, spec_b = a[m_spec], a[m_spec + 1], a[m_spec + 2]
+    tex_id = a[m_tex0].astype(jnp.int32)
+    tex_w, tex_h = a[m_tw], a[m_tw + 1]
 
-    u = u * uv_sx
-    v = v * uv_sy
     tex_r, tex_g, tex_b, tex_a = _sample_bilinear_planar(
         textures, textures_quad, textures_quad_t, tex_id, tex_w, tex_h, u, v)
 
@@ -279,14 +321,15 @@ def _sample_bilinear_planar(textures, textures_quad, textures_quad_t,
     """Bilinear, wrap-repeat sampling in component form.
 
     tex_id i32[P], tw/th f32[P] (actual texture size, pre-resolved into the
-    per-triangle row), u/v f32[P]; returns four f32[P] channel rows.
-    With the channel-major quad pack ``textures_quad_t`` (u8[16, T*S*S],
-    each texel's wrap-correct 2x2 RGBA neighborhood, built at scene load)
-    the four bilinear taps arrive in ONE channel-planar take; otherwise
-    falls back to four row gathers.
+    per-triangle row), u/v f32[P] in TEXEL units (uv scale and texture size
+    are baked per corner at the T-sized table); returns four f32[P] channel
+    rows.  With the channel-major quad pack ``textures_quad_t``
+    (u8[16, T*S*S], each texel's wrap-correct 2x2 RGBA neighborhood, built
+    at scene load) the four bilinear taps arrive in ONE channel-planar
+    take; otherwise falls back to four row gathers.
     """
-    fx = u * tw - 0.5
-    fy = v * th - 0.5
+    fx = u - 0.5
+    fy = v - 0.5
     x0 = jnp.floor(fx)
     y0 = jnp.floor(fy)
     tx = fx - x0

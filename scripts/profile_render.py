@@ -145,17 +145,18 @@ def main():
         vis_and_attrs(rs_dev, world))
 
     @jax.jit
-    def stage_shade(r, tri_id, b1, b2, wp, wn, iw):
+    def stage_shade(r, tri_id, b1, b2, depth, wp, wn, iw):
         return shade_visibility(
             tri_id, b1, b2, wp, wn, r.v_uv, iw, r.tri_material,
             r.mat_base_tint, r.mat_uv_scale, r.mat_spec_params,
             r.mat_spec_color, r.mat_tex, r.textures, r.tex_size,
             cam_pos, light,
             textures_quad=getattr(r, "textures_quad", None),
-            textures_quad_t=getattr(r, "textures_quad_t", None))
+            textures_quad_t=getattr(r, "textures_quad_t", None),
+            vis_depth=depth, view=view, proj=proj)
 
     timeit("shade", stage_shade, rs_dev, vis.tri_id, vis.b1, vis.b2,
-           world_pos, world_nrm, inv_w)
+           vis.depth, world_pos, world_nrm, inv_w)
 
     frame_fn = make_render_fn(rs, width, height, bin_capacity=2048)
     _, t_frame = timeit("frame", frame_fn, world, view, proj,
