@@ -86,17 +86,18 @@ def box_contacts_t(
     ok_t = nb_valid.T
     safe = jnp.maximum(idx_t, 0)
 
-    # partner components in ONE contiguous gather: XLA lowers x[safe] per
-    # array to a scalar gather (~0.8 ms each at N=10k on v5e); packing all
-    # 16 partner attributes into [N,16] and gathering once rides the
-    # minor-dim fast path (measured ~10x cheaper than 15 separate gathers)
-    packed = jnp.stack(
-        [px, py, pz, hx, hy, hz] + list(a)
-        + [jnp.zeros_like(px)], axis=-1)                # [N,16]
-    g = packed[safe]                                    # [K,N,16]
-    qbx, qby, qbz = g[..., 0], g[..., 1], g[..., 2]
-    gx, gy, gz = g[..., 3], g[..., 4], g[..., 5]
-    b = tuple(g[..., 6 + i] for i in range(9))          # Rb comps, [K,N]
+    # partner components in ONE channel-major gather: take(..., axis=1) of
+    # the [15, N] table with [K, N] indices lands [15, K, N] with every
+    # attribute a contiguous [K, N] plane.  (A row-major [K, N, 16] gather
+    # pads its minor dim to the 128-lane tile and re-reads 8x per column
+    # slice; separate per-array gathers lower to ~0.8 ms scalar gathers
+    # each at N=10k.)  The barrier pins the gather to run once.
+    packed_t = jnp.stack([px, py, pz, hx, hy, hz] + list(a))  # [15, N]
+    g = jax.lax.optimization_barrier(
+        jnp.take(packed_t, safe, axis=1))               # [15, K, N]
+    qbx, qby, qbz = g[0], g[1], g[2]
+    gx, gy, gz = g[3], g[4], g[5]
+    b = tuple(g[6 + i] for i in range(9))               # Rb comps, [K,N]
 
     # ---- SAT: 15 axes, component form ---------------------------------
     # R = Ra^T Rb  (r[i][j] = sum_k Ra[k][i] Rb[k][j]), [K,N]
@@ -458,30 +459,33 @@ def solve_contacts_t(
     is_static = c_prt < 0
     safe = jnp.maximum(c_prt, 0)
 
-    # all iteration-invariant partner attributes in ONE contiguous gather
-    # (12 features; XLA's per-array scalar gather costs ~0.8 ms each at
-    # N=10k on v5e, the packed minor-dim gather ~0.1 ms total)
+    # all iteration-invariant partner attributes in ONE channel-major
+    # gather: take(..., axis=1) of a [12, N] table with [C, N] indices
+    # lands [12, C, N] with each feature a contiguous [C, N] plane —
+    # a row-major [C, N, 16] gather pads its minor dim to the 128-lane
+    # tile and re-reads 8x per column slice (scripts/profile_stress.py
+    # attributed ~5 ms/step of solver setup to exactly that).  The
+    # barrier pins the gather to run once instead of per consumer.
     ia = _inertia_world_comps(quat, inv_inertia_body)       # 6 x [N]
-    setup_pack = jnp.stack(
-        [px, py, pz, inv_m, friction, restitution, *ia,
-         jnp.zeros_like(px), jnp.zeros_like(px),
-         jnp.zeros_like(px), jnp.zeros_like(px)], axis=-1)  # [N,16]
-    gp = setup_pack[safe]                                   # [C,N,16]
+    setup_pack_t = jnp.stack(
+        [px, py, pz, inv_m, friction, restitution, *ia])    # [12, N]
+    gp = jax.lax.optimization_barrier(
+        jnp.take(setup_pack_t, safe, axis=1))               # [12, C, N]
 
     rax = c_ptx - px[None]
     ray = c_pty - py[None]
     raz = c_ptz - pz[None]
-    rbx = c_ptx - gp[..., 0]
-    rby = c_pty - gp[..., 1]
-    rbz = c_ptz - gp[..., 2]
+    rbx = c_ptx - gp[0]
+    rby = c_pty - gp[1]
+    rbz = c_ptz - gp[2]
 
     c_mu = jnp.where(
         is_static,
         friction[None, :] * ground_friction,
-        friction[None, :] * gp[..., 4],
+        friction[None, :] * gp[4],
     )
     c_e = jnp.where(
-        is_static, 0.0, restitution[None, :] * gp[..., 5],
+        is_static, 0.0, restitution[None, :] * gp[5],
     )
 
     # orthonormal tangents (same branchless helper as the general solver)
@@ -495,9 +499,9 @@ def solve_contacts_t(
 
     ia_c = tuple(c[None] for c in ia)                       # broadcast [1,N]
     ib = tuple(
-        jnp.where(is_static, 0.0, gp[..., 6 + i]) for i in range(6))
+        jnp.where(is_static, 0.0, gp[6 + i]) for i in range(6))
     im_a = inv_m[None]
-    im_b = jnp.where(is_static, 0.0, gp[..., 3])
+    im_b = jnp.where(is_static, 0.0, gp[3])
 
     def k_along(dx, dy, dz):
         cxa, cya, cza = _cross(rax, ray, raz, dx, dy, dz)
@@ -515,9 +519,10 @@ def solve_contacts_t(
     kt1 = k_along(t1x, t1y, t1z)
     kt2 = k_along(t2x, t2y, t2z)
 
-    def rel_vel(vx_, vy_, vz_, wx_, wy_, wz_, packed):
-        """packed: [N, 8] (vx..wz + pad) — partner state arrives in ONE
-        gather (measured 5x cheaper than six [C,N]<-[N] gathers on v5e)."""
+    def rel_vel(vx_, vy_, vz_, wx_, wy_, wz_, packed_t):
+        """packed_t: [6, N] (vx..wz rows) — partner state arrives in ONE
+        channel-major take landing each velocity component as a
+        contiguous [C, N] plane."""
         cax, cay, caz = _cross(wx_[None] * jnp.ones_like(rax),
                                wy_[None] * jnp.ones_like(rax),
                                wz_[None] * jnp.ones_like(rax),
@@ -525,16 +530,19 @@ def solve_contacts_t(
         vax = vx_[None] + cax
         vay = vy_[None] + cay
         vaz = vz_[None] + caz
-        g = jnp.where(is_static[..., None], 0.0, packed[safe])  # [C,N,8]
-        gbx, gby, gbz = g[..., 0], g[..., 1], g[..., 2]
-        gwx, gwy, gwz = g[..., 3], g[..., 4], g[..., 5]
+        g = jax.lax.optimization_barrier(
+            jnp.take(packed_t, safe, axis=1))               # [6, C, N]
+        gbx = jnp.where(is_static, 0.0, g[0])
+        gby = jnp.where(is_static, 0.0, g[1])
+        gbz = jnp.where(is_static, 0.0, g[2])
+        gwx = jnp.where(is_static, 0.0, g[3])
+        gwy = jnp.where(is_static, 0.0, g[4])
+        gwz = jnp.where(is_static, 0.0, g[5])
         cbx, cby, cbz = _cross(gwx, gwy, gwz, rbx, rby, rbz)
         return (vax - gbx - cbx, vay - gby - cby, vaz - gbz - cbz)
 
     def pack(vx_, vy_, vz_, wx_, wy_, wz_):
-        return jnp.stack(
-            [vx_, vy_, vz_, wx_, wy_, wz_,
-             jnp.zeros_like(vx_), jnp.zeros_like(vx_)], axis=-1)
+        return jnp.stack([vx_, vy_, vz_, wx_, wy_, wz_])    # [6, N]
 
     rx, ry, rz = rel_vel(vx, vy, vz, wx, wy, wz, pack(vx, vy, vz, wx, wy, wz))
     vn0 = _dot(rx, ry, rz, c_nx, c_ny, c_nz)
