@@ -1,0 +1,79 @@
+"""make_frame_fn: the interactive tick (step + shaded frame, one host call)."""
+
+import math
+import os
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from banggameengine_tpu.engine import engine_step
+from banggameengine_tpu.render.camera import Camera
+from banggameengine_tpu.render.pipeline import make_frame_fn, render_frame
+from banggameengine_tpu.state import InputFrame
+
+W, H = 160, 90
+ASSETS = os.environ.get("BANG_ASSETS_DIR", "/root/reference/assets")
+
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(ASSETS), reason="needs demo assets")
+
+
+@pytest.fixture(scope="module")
+def built():
+    from banggameengine_tpu.physics.config import load_physics_config
+    from banggameengine_tpu.scene import (
+        ResourceManager, build_scene, parse_scene_json,
+    )
+
+    return build_scene(
+        parse_scene_json(os.path.join(ASSETS, "scenes/demo.json")),
+        ResourceManager(assets_root=ASSETS),
+        load_physics_config(os.path.join(ASSETS, "config/physics.json")),
+    )
+
+
+def _camera():
+    cam = Camera()
+    cam.position[:] = (0.0, 4.0, -10.5)
+    cam.set_yaw_pitch(math.pi / 2, -0.12)
+    return (jnp.asarray(cam.view_matrix()),
+            jnp.asarray(cam.proj_matrix(W / H)),
+            jnp.asarray(cam.position))
+
+
+def test_frame_fn_matches_separate_step_and_render(built):
+    view, proj, cam_pos = _camera()
+    inp = InputFrame.zero()
+
+    # reference: explicit engine_step + render_frame
+    ref_s, _ = jax.jit(engine_step)(built.initial_state, inp, built.static)
+    ref_img = np.asarray(jax.jit(
+        lambda rs, w: render_frame(rs, w, view, proj, cam_pos,
+                                   width=W, height=H, bin_capacity=256)
+    )(built.render, ref_s.world))
+
+    ffn = make_frame_fn(built, W, H, bin_capacity=256)
+    # donation consumes the input state; feed a copy so the shared
+    # module fixture stays alive for other tests
+    s0 = jax.tree.map(jnp.array, built.initial_state)
+    s2, img = ffn(s0, inp, view, proj, cam_pos)
+
+    np.testing.assert_array_equal(np.asarray(img), ref_img)
+    np.testing.assert_allclose(np.asarray(s2.pos), np.asarray(ref_s.pos))
+    # sky clear where nothing drawn (top-left corner)
+    assert tuple(ref_img[0, 0, :3]) == (0x88, 0xAA, 0xFF)
+
+
+def test_frame_fn_chains_with_donation(built):
+    view, proj, cam_pos = _camera()
+    ffn = make_frame_fn(built, W, H, bin_capacity=256)
+    inp = InputFrame.zero()
+    s = jax.tree.map(jnp.array, built.initial_state)
+    t0 = float(s.time)
+    for _ in range(3):
+        s, img = ffn(s, inp, view, proj, cam_pos)
+    assert float(s.time) == pytest.approx(
+        t0 + 3 * float(built.static.fixed_dt), rel=1e-5)
+    assert np.asarray(img).shape == (H, W, 4)
