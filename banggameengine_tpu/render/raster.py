@@ -38,7 +38,12 @@ Array = jax.Array
 
 TILE_H = 32
 TILE_W = 128
-K_GLOBAL = 64  # shared bin for triangles spanning many tiles
+# shared bin for triangles spanning many tiles (the ground plane class);
+# kept small — the light raster pass walks K_GLOBAL + light_capacity slots
+# on EVERY tile, and scenes rarely have more than a handful of huge
+# triangles (overflow is surfaced, and the runtime-gated heavy pass
+# re-rasters dense tiles at full capacity)
+K_GLOBAL = 16
 
 
 class VisibilityBuffer(NamedTuple):
@@ -347,7 +352,7 @@ def _raster_tile(tile_x0, tile_y0, g_x, g_y, g_z, g_oid, g_cb, g_ok,
 
 def rasterize(clip, tri_valid, width: int, height: int,
               bin_capacity: int = 2048, chunk: int = 8,
-              light_capacity: int = 64, heavy_tiles: int = 64,
+              light_capacity: int = 48, heavy_tiles: int = 64,
               backend: str = "auto",
               ) -> tuple[VisibilityBuffer, Array]:
     """Full visibility pass.  width/height are padded up to tile multiples
