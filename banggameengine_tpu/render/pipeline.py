@@ -120,15 +120,23 @@ def make_render_fn(render_scene, width: int, height: int,
 
 def make_frame_fn(built, width: int, height: int,
                   solver_iterations: int = 10, bin_capacity: int = 2048,
+                  pipelined: bool = False,
                   **physics_kwargs):
     """The interactive tick: engine step + shaded frame, one host call.
 
-    Two queued device dispatches (step with donated WorldState, then the
-    renderer on the new world matrices) with NO host synchronization in
-    between — the async runtime pipelines them.  Measured on the chip this
-    beats a single fused executable by ~30% (XLA schedules the merged
-    step+render program worse than the two tuned programs).  Returns
-    ``call(state, inp, view, proj, cam_pos, light=None)
+    Two queued device dispatches (step with donated WorldState, and the
+    renderer) with NO host synchronization in between.  Measured on the
+    chip this beats a single fused executable by ~30% (XLA schedules the
+    merged step+render program worse than the two tuned programs).
+
+    ``pipelined=True`` renders the CURRENT state's world while the step
+    computes the next one (one tick of visual latency, the classic
+    hardware-engine frame pipeline).  On the tunneled runtime it measures
+    identical to the default zero-latency ordering — under queue
+    saturation every cross-program input is a pending future either way —
+    so the default stays ``False`` (render the post-step world).
+
+    Returns ``call(state, inp, view, proj, cam_pos, light=None)
     -> (new_state, u8[H,W,4])``.
     """
     from banggameengine_tpu.engine import engine_step
@@ -150,9 +158,15 @@ def make_frame_fn(built, width: int, height: int,
     st = jax.device_put(built.static)
     rs = jax.device_put(built.render)
 
-    def call(state, inp, view, proj, cam_pos, light=None):
-        s2 = jstep(state, inp, st)
-        img = jrender(rs, s2.world, view, proj, cam_pos, light)
-        return s2, img
+    if pipelined:
+        def call(state, inp, view, proj, cam_pos, light=None):
+            img = jrender(rs, state.world, view, proj, cam_pos, light)
+            s2 = jstep(state, inp, st)
+            return s2, img
+    else:
+        def call(state, inp, view, proj, cam_pos, light=None):
+            s2 = jstep(state, inp, st)
+            img = jrender(rs, s2.world, view, proj, cam_pos, light)
+            return s2, img
 
     return call

@@ -43,7 +43,7 @@ def _camera():
             jnp.asarray(cam.position))
 
 
-def test_frame_fn_matches_separate_step_and_render(built):
+def test_frame_fn_strict_matches_separate_step_and_render(built):
     view, proj, cam_pos = _camera()
     inp = InputFrame.zero()
 
@@ -54,7 +54,7 @@ def test_frame_fn_matches_separate_step_and_render(built):
                                    width=W, height=H, bin_capacity=256)
     )(built.render, ref_s.world))
 
-    ffn = make_frame_fn(built, W, H, bin_capacity=256)
+    ffn = make_frame_fn(built, W, H, bin_capacity=256)  # strict default
     # donation consumes the input state; feed a copy so the shared
     # module fixture stays alive for other tests
     s0 = jax.tree.map(jnp.array, built.initial_state)
@@ -64,6 +64,26 @@ def test_frame_fn_matches_separate_step_and_render(built):
     np.testing.assert_allclose(np.asarray(s2.pos), np.asarray(ref_s.pos))
     # sky clear where nothing drawn (top-left corner)
     assert tuple(ref_img[0, 0, :3]) == (0x88, 0xAA, 0xFF)
+
+
+def test_frame_fn_pipelined_renders_pre_step_world(built):
+    """pipelined=True draws the CURRENT state (one tick of latency) while
+    stepping; frame N's image equals a render of state N's world."""
+    view, proj, cam_pos = _camera()
+    inp = InputFrame.zero()
+
+    ref_img = np.asarray(jax.jit(
+        lambda rs, w: render_frame(rs, w, view, proj, cam_pos,
+                                   width=W, height=H, bin_capacity=256)
+    )(built.render, built.initial_state.world))
+
+    ffn = make_frame_fn(built, W, H, bin_capacity=256, pipelined=True)
+    s0 = jax.tree.map(jnp.array, built.initial_state)
+    t0 = float(s0.time)
+    s2, img = ffn(s0, inp, view, proj, cam_pos)
+
+    np.testing.assert_array_equal(np.asarray(img), ref_img)
+    assert float(s2.time) > t0      # the state still advanced
 
 
 def test_frame_fn_chains_with_donation(built):
