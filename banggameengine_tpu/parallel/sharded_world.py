@@ -43,8 +43,8 @@ from banggameengine_tpu.parallel.spatial import (
     local_rows_contact_solve, static_columns,
 )
 from banggameengine_tpu.state import (
-    BODY_DYNAMIC, COMP_CHARACTER, COMP_COLLIDER, StaticScene, WorldState,
-    tree_replace,
+    BODY_DYNAMIC, BODY_KINEMATIC, COMP_CHARACTER, COMP_COLLIDER, StaticScene,
+    WorldState, tree_replace,
 )
 
 AXIS = "entity"
@@ -148,8 +148,13 @@ def make_fully_sharded_step(static: StaticScene, mesh: Mesh,
                 max_neighbors, AXIS, aabb_margin=aabb_margin,
             )
 
-            # 4. integrate local rows (semi-implicit Euler) + world refresh
-            moving = dyn_l
+            # 4. integrate local rows (semi-implicit Euler) + world refresh.
+            # kinematic rows integrate at their set velocity exactly like the
+            # dense engine (physics/step.py `moving = dynamic | kinematic`);
+            # they take no impulses (dyn mask) but carry/push via the
+            # gathered partner velocities.
+            moving = (dyn_l | ((stc["body_type"] == BODY_KINEMATIC)
+                               & alive_l))
             pos_l = jnp.where(moving[:, None], pos_l + v_l * dt, pos_l)
             quat_l = jnp.where(
                 moving[:, None], math3d.quat_integrate(quat_l, w_l, dt),

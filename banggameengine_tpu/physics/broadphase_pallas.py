@@ -152,10 +152,15 @@ def morton_key_xz(pos: Array, cell: float = 0.25) -> Array:
     """Morton (z-order) key over the horizontal plane: interleaved 16-bit
     quantized x/z.  Sorting bodies by this key makes 128-body blocks
     spatially tight, which is what the kernel's block-AABB pruning feeds on
-    (ground-plane worlds spread in x/z; y adds little)."""
+    (ground-plane worlds spread in x/z; y adds little).
+
+    Axes clamp to 15 bits (~8 km at the default cell) so the interleaved
+    key never reaches the int32 sign bit — ``spread(zi) << 1`` with a
+    16-bit zi would flip the key negative and break the argsort's spatial
+    ordering (perf-only: the result stays a valid permutation)."""
     mn = jnp.min(pos, axis=0)
-    xi = jnp.clip(((pos[:, 0] - mn[0]) / cell).astype(jnp.int32), 0, 0xFFFF)
-    zi = jnp.clip(((pos[:, 2] - mn[2]) / cell).astype(jnp.int32), 0, 0xFFFF)
+    xi = jnp.clip(((pos[:, 0] - mn[0]) / cell).astype(jnp.int32), 0, 0x7FFF)
+    zi = jnp.clip(((pos[:, 2] - mn[2]) / cell).astype(jnp.int32), 0, 0x7FFF)
 
     def spread(v):
         v = (v | (v << 8)) & 0x00FF00FF

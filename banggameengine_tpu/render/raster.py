@@ -198,7 +198,10 @@ def bin_triangles(tri, width: int, height: int,
     ``global`` list prepended to every tile.
 
     Returns (ids i32[tiles, k_global+k_local] -1-padded, counts i32[tiles],
-    overflow i32, (tiles_y, tiles_x)).
+    local_counts i32[tiles], overflow i32, (tiles_y, tiles_x)).
+    ``local_counts`` excludes the shared global list — the light/heavy
+    raster split must compare it against the LOCAL slot capacity (the
+    global slots are always fully walked by every tile).
     """
     tiles_x = (width + TILE_W - 1) // TILE_W
     tiles_y = (height + TILE_H - 1) // TILE_H
@@ -270,7 +273,7 @@ def bin_triangles(tri, width: int, height: int,
     )
     counts = local_counts + jnp.minimum(gcounts[0], k_global)
     overflow = g_overflow + l_overflow
-    return ids, counts, overflow, (tiles_y, tiles_x)
+    return ids, counts, local_counts, overflow, (tiles_y, tiles_x)
 
 
 def _raster_tile(tile_x0, tile_y0, g_x, g_y, g_z, g_oid, g_cb, g_ok,
@@ -385,7 +388,7 @@ def rasterize(clip, tri_valid, width: int, height: int,
     # past the right/bottom edges into cropped padding
     tri = setup_triangles(sub_clip, sub_valid, width, height)
     k_local = min(bin_capacity, 2 * t)
-    ids, counts, overflow, (tiles_y, tiles_x) = bin_triangles(
+    ids, counts, local_counts, overflow, (tiles_y, tiles_x) = bin_triangles(
         tri, rw, rh, k_local=k_local
     )
     n_tiles = ids.shape[0]
@@ -454,7 +457,13 @@ def rasterize(clip, tri_valid, width: int, height: int,
     # skip the whole re-raster at RUNTIME, not just mask its writes.
     h = min(heavy_tiles, n_tiles)
     if ids.shape[1] > kl and h > 0:
-        heavy_sel = jax.lax.top_k(counts, h)[1]      # tile indices
+        # the light pass walks ALL global slots plus the first
+        # ``kl - K_GLOBAL`` LOCAL slots, so a tile needs the heavy pass
+        # exactly when its LOCAL count exceeds that local capacity — the
+        # global count never displaces local slots (ids are concatenated,
+        # not interleaved)
+        light_local_cap = kl - K_GLOBAL
+        heavy_sel = jax.lax.top_k(local_counts, h)[1]      # tile indices
 
         def heavy_branch(bufs):
             zb, tid, b1, b2 = bufs
@@ -463,7 +472,7 @@ def rasterize(clip, tri_valid, width: int, height: int,
                 tx[heavy_sel], ty[heavy_sel]
             )
             # only overwrite tiles that actually exceeded the light capacity
-            needs = (counts[heavy_sel] > kl)[:, None, None]
+            needs = (local_counts[heavy_sel] > light_local_cap)[:, None, None]
             zb = zb.at[heavy_sel].set(jnp.where(needs, zb_h, zb[heavy_sel]))
             tid = tid.at[heavy_sel].set(jnp.where(needs, tid_h, tid[heavy_sel]))
             b1 = b1.at[heavy_sel].set(jnp.where(needs, b1_h, b1[heavy_sel]))
@@ -471,13 +480,13 @@ def rasterize(clip, tri_valid, width: int, height: int,
             return zb, tid, b1, b2
 
         zb, tid, b1, b2 = jax.lax.cond(
-            jnp.any(counts > kl), heavy_branch, lambda bufs: bufs,
+            jnp.any(local_counts > light_local_cap), heavy_branch,
+            lambda bufs: bufs,
             (zb, tid, b1, b2),
         )
         # light-capacity overflow not covered by the heavy pass
-        over_light = jnp.maximum(counts - kl, 0).sum() - jnp.maximum(
-            counts[heavy_sel] - kl, 0
-        ).sum()
+        over_light = jnp.maximum(local_counts - light_local_cap, 0).sum() \
+            - jnp.maximum(local_counts[heavy_sel] - light_local_cap, 0).sum()
         overflow = overflow + over_light
 
     def untile(a):

@@ -91,7 +91,7 @@ def main():
             sub_clip.reshape(s, 3, 4), sub_valid.reshape(s), width, height)
         rw = width + (-width) % rz.TILE_W
         rh = height + (-height) % rz.TILE_H
-        ids, counts, overflow, _ = rz.bin_triangles(
+        ids, counts, _local_counts, overflow, _ = rz.bin_triangles(
             tri, rw, rh, k_local=min(2048, 2 * t))
         return counts, overflow
 

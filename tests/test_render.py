@@ -103,6 +103,32 @@ class TestRasterizer:
         vis, _ = rz.rasterize(clip, jnp.asarray([True]), 64, 64)
         assert np.asarray(vis.tri_id)[32, 32] == 0
 
+    def test_light_capacity_overflow_triggers_heavy_pass(self):
+        # Regression (round-2 ADVICE): the light/heavy split must compare a
+        # tile's LOCAL triangle count against the LOCAL light capacity.  With
+        # few global triangles, a tile whose local count exceeds the light
+        # capacity (but whose padded total stays under K_GLOBAL +
+        # light_capacity) used to skip the heavy re-raster and silently drop
+        # the tail triangles.
+        n = 60  # > light_capacity=48, < K_GLOBAL + light_capacity = 64
+        tris = []
+        for i in range(n):
+            # disjoint tiny triangles inside tile (0, 0): screen x 0..127,
+            # y 0..31 of a 256x256 target -> NDC x in [-1, 0), y in (0.75, 1]
+            gx, gy = i % 10, i // 10
+            x0 = -1.0 + gx * 0.09 + 0.01
+            y0 = 1.0 - gy * 0.035 - 0.004
+            tris.append([(x0, y0, 0.5, 1.0), (x0 + 0.06, y0, 0.5, 1.0),
+                         (x0, y0 - 0.022, 0.5, 1.0)])
+        clip = jnp.asarray(np.asarray(tris, np.float32).reshape(-1, 4))
+        vis, overflow = rz.rasterize(
+            clip, jnp.ones(n, bool), 256, 256, light_capacity=48
+        )
+        seen = set(np.unique(np.asarray(vis.tri_id)))
+        missing = set(range(n)) - seen
+        assert not missing, f"dropped triangles: {sorted(missing)}"
+        assert int(overflow) == 0
+
     def test_offscreen_tile_binning(self):
         view, proj = simple_cam()
         # small triangle in the top-left; bottom-right tiles must stay empty
