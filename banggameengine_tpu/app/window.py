@@ -140,8 +140,16 @@ class XcbWindow(BaseWindow):
                 self._mouse = (float(a), float(b))
             elif kind == e["rs"]:
                 self.width, self.height = int(a), int(b)
-        # deltas only while locked (Window.cpp:72-76)
-        self._mouse_delta = (dx, dy) if self._cursor_locked else (0.0, 0.0)
+        # deltas only while locked (Window.cpp:72-76).  While locked the
+        # native layer warps the pointer back to the window center after
+        # every poll (GLFW_CURSOR_DISABLED equivalent) so deltas never
+        # saturate at the screen edge; the baseline resets to center.
+        if self._cursor_locked:
+            self._mouse_delta = (dx, dy)
+            self._native.warp_center()
+            self._mouse = (self.width / 2.0, self.height / 2.0)
+        else:
+            self._mouse_delta = (0.0, 0.0)
 
     def present(self, frame: np.ndarray) -> None:
         self._native.present(frame)
@@ -150,7 +158,11 @@ class XcbWindow(BaseWindow):
         return self._native.should_close()
 
     def set_cursor_locked(self, locked: bool) -> None:
+        if locked and not self._cursor_locked:
+            # baseline at center: the native layer warps there on lock
+            self._mouse = (self.width / 2.0, self.height / 2.0)
         self._cursor_locked = locked
+        self._native.set_cursor_locked(locked)
 
     def set_title(self, title: str) -> None:
         self._native.set_title(title)
@@ -177,19 +189,28 @@ class XcbWindow(BaseWindow):
 class GlfwWindow(BaseWindow):
     """Interactive window via glfw (only when the module is available).
 
-    Mirrors the reference's behavior: client-api NONE window, per-poll mouse
-    deltas zeroed while the cursor is unlocked, scroll accumulation.
+    Mirrors the reference's input behavior (per-poll mouse deltas zeroed
+    while the cursor is unlocked, scroll accumulation); presentation blits
+    the fetched RGBA framebuffer through a minimal GL fixed-function path
+    when pyOpenGL is importable (the swap the reference gets from
+    ``bgfx::frame()``, ``Renderer.cpp:733-736``), and raises at
+    construction otherwise so ``create_window`` keeps walking the fallback
+    chain instead of opening a window that can never show anything.
     """
 
     def __init__(self, width: int = 1280, height: int = 720,
                  title: str = "BangGameEngine-TPU"):
         import glfw  # noqa: F401 (raises ImportError when unavailable)
+        import OpenGL.GL as gl  # noqa: F401 (presentation requires GL)
 
         self._glfw = glfw
+        self._gl = gl
         if not glfw.init():
             raise RuntimeError("glfw init failed")
-        glfw.window_hint(glfw.CLIENT_API, glfw.NO_API)
         self._win = glfw.create_window(width, height, title, None, None)
+        if not self._win:
+            glfw.terminate()
+            raise RuntimeError("glfw window creation failed")
         self.width = width
         self.height = height
         self._last_mouse = (0.0, 0.0)
@@ -213,9 +234,21 @@ class GlfwWindow(BaseWindow):
         self._mouse_delta = (dx, dy) if self._cursor_locked else (0.0, 0.0)
 
     def present(self, frame: np.ndarray) -> None:
-        # no GL context (parity with the reference's external-renderer
-        # model); desktop presentation would blit via a platform surface.
-        pass
+        """Blit the RGBA frame: glDrawPixels with a top-left raster origin
+        (negative y zoom flips the row order to GL's bottom-up.)"""
+        g, gl = self._glfw, self._gl
+        g.make_context_current(self._win)
+        fbw, fbh = g.get_framebuffer_size(self._win)
+        frame = np.ascontiguousarray(frame, dtype=np.uint8)
+        h, w = frame.shape[:2]
+        gl.glViewport(0, 0, max(fbw, 1), max(fbh, 1))
+        gl.glClearColor(0.0, 0.0, 0.0, 1.0)
+        gl.glClear(gl.GL_COLOR_BUFFER_BIT)
+        gl.glPixelStorei(gl.GL_UNPACK_ALIGNMENT, 1)
+        gl.glRasterPos2f(-1.0, 1.0)
+        gl.glPixelZoom(fbw / float(w), -fbh / float(h))
+        gl.glDrawPixels(w, h, gl.GL_RGBA, gl.GL_UNSIGNED_BYTE, frame)
+        g.swap_buffers(self._win)
 
     def should_close(self) -> bool:
         return bool(self._glfw.window_should_close(self._win))

@@ -142,6 +142,22 @@ struct XcbApi {
         xcb_connection_t *, xcb_kbmap_cookie_t, void **);
     uint32_t *(*get_keyboard_mapping_keysyms)(
         const xcb_get_keyboard_mapping_reply_t *);
+    xcb_void_cookie_t (*warp_pointer)(
+        xcb_connection_t *, uint32_t src_window, uint32_t dst_window,
+        int16_t src_x, int16_t src_y, uint16_t src_w, uint16_t src_h,
+        int16_t dst_x, int16_t dst_y);
+    xcb_void_cookie_t (*create_pixmap)(xcb_connection_t *, uint8_t depth,
+                                       uint32_t pid, uint32_t drawable,
+                                       uint16_t w, uint16_t h);
+    xcb_void_cookie_t (*free_pixmap)(xcb_connection_t *, uint32_t);
+    xcb_void_cookie_t (*create_cursor)(
+        xcb_connection_t *, uint32_t cid, uint32_t source, uint32_t mask,
+        uint16_t fore_r, uint16_t fore_g, uint16_t fore_b, uint16_t back_r,
+        uint16_t back_g, uint16_t back_b, uint16_t x, uint16_t y);
+    xcb_void_cookie_t (*free_cursor)(xcb_connection_t *, uint32_t);
+    xcb_void_cookie_t (*change_window_attributes)(
+        xcb_connection_t *, uint32_t window, uint32_t value_mask,
+        const void *value_list);
 };
 
 bool load_api(XcbApi &api) {
@@ -169,6 +185,12 @@ bool load_api(XcbApi &api) {
     LOAD(get_keyboard_mapping, "xcb_get_keyboard_mapping")
     LOAD(get_keyboard_mapping_reply, "xcb_get_keyboard_mapping_reply")
     LOAD(get_keyboard_mapping_keysyms, "xcb_get_keyboard_mapping_keysyms")
+    LOAD(warp_pointer, "xcb_warp_pointer")
+    LOAD(create_pixmap, "xcb_create_pixmap")
+    LOAD(free_pixmap, "xcb_free_pixmap")
+    LOAD(create_cursor, "xcb_create_cursor")
+    LOAD(free_cursor, "xcb_free_cursor")
+    LOAD(change_window_attributes, "xcb_change_window_attributes")
 #undef LOAD
     return true;
 }
@@ -196,11 +218,14 @@ struct BangWindow {
     uint32_t wm_delete_atom = 0;
     bool should_close = false;
     uint8_t min_keycode = 8;
+    uint8_t depth = 24;           // root depth (PutImage must match)
     int keysyms_per_code = 0;
     uint32_t *keysyms = nullptr;  // owned (reply buffer)
     void *keysyms_reply = nullptr;
     uint8_t *bgra = nullptr;      // conversion scratch
     size_t bgra_cap = 0;
+    bool cursor_locked = false;
+    uint32_t blank_cursor = 0;    // invisible cursor shown while locked
 };
 
 uint32_t intern(BangWindow *w, const char *name, bool only_if_exists) {
@@ -231,6 +256,15 @@ void *bang_win_open(int width, int height, const char *title) {
     xcb_screen_iterator_t it = w->api.setup_roots_iterator(setup);
     xcb_screen_t *screen = it.data;  // first screen (multi-screen X is rare)
     (void)screen_num;
+    // the BGRX ZPixmap upload below is only valid against a 24-bit root;
+    // on 16/30-bit displays every PutImage would fail BadMatch with a
+    // silently blank window — degrade to headless instead
+    if (screen->root_depth != 24) {
+        w->api.disconnect(w->conn);
+        delete w;
+        return nullptr;
+    }
+    w->depth = screen->root_depth;
     w->width = width;
     w->height = height;
     w->win = w->api.generate_id(w->conn);
@@ -317,7 +351,7 @@ void bang_win_present(void *handle, const uint8_t *rgba, int width,
         int band = height - y < rows_per_band ? height - y : rows_per_band;
         w->api.put_image(w->conn, XCB_IMAGE_FORMAT_Z_PIXMAP, w->win, w->gc,
                          (uint16_t)width, (uint16_t)band, 0, (int16_t)y, 0,
-                         24, (uint32_t)(row_bytes * band),
+                         w->depth, (uint32_t)(row_bytes * band),
                          w->bgra + row_bytes * (size_t)y);
     }
     w->api.flush(w->conn);
@@ -383,6 +417,10 @@ int bang_win_poll(void *handle, int32_t *out, int cap) {
                 int16_t ww, hh;
                 memcpy(&ww, raw + 20, 2);
                 memcpy(&hh, raw + 22, 2);
+                if (ww > 0 && hh > 0) {  // keep warp center current
+                    w->width = ww;
+                    w->height = hh;
+                }
                 slot[0] = 7;
                 slot[1] = ww;
                 slot[2] = hh;
@@ -398,6 +436,47 @@ int bang_win_poll(void *handle, int32_t *out, int cap) {
         if (n >= cap) break;
     }
     return n;
+}
+
+// Cursor lock for mouse-look: hides the cursor (1x1 invisible cursor) and
+// warps the pointer back to the window center after every poll, so look
+// deltas never saturate at the screen edge (the GLFW_CURSOR_DISABLED
+// behavior the reference relies on, Window.cpp:64-70).  The host side
+// measures each motion event against the window center.
+void bang_win_set_cursor_locked(void *handle, int locked) {
+    auto *w = static_cast<BangWindow *>(handle);
+    if (!w) return;
+    bool want = locked != 0;
+    if (want == w->cursor_locked) return;
+    w->cursor_locked = want;
+    constexpr uint32_t XCB_CW_CURSOR = 0x4000;
+    if (want) {
+        if (!w->blank_cursor) {
+            uint32_t pix = w->api.generate_id(w->conn);
+            w->api.create_pixmap(w->conn, 1, pix, w->win, 1, 1);
+            w->blank_cursor = w->api.generate_id(w->conn);
+            w->api.create_cursor(w->conn, w->blank_cursor, pix, pix,
+                                 0, 0, 0, 0, 0, 0, 0, 0);
+            w->api.free_pixmap(w->conn, pix);
+        }
+        uint32_t v[1] = {w->blank_cursor};
+        w->api.change_window_attributes(w->conn, w->win, XCB_CW_CURSOR, v);
+        w->api.warp_pointer(w->conn, 0, w->win, 0, 0, 0, 0,
+                            (int16_t)(w->width / 2), (int16_t)(w->height / 2));
+    } else {
+        uint32_t v[1] = {0};  // XCB_CURSOR_NONE -> inherit parent cursor
+        w->api.change_window_attributes(w->conn, w->win, XCB_CW_CURSOR, v);
+    }
+    w->api.flush(w->conn);
+}
+
+// Re-center the pointer (called by the host after draining a locked poll).
+void bang_win_warp_center(void *handle) {
+    auto *w = static_cast<BangWindow *>(handle);
+    if (!w || !w->cursor_locked) return;
+    w->api.warp_pointer(w->conn, 0, w->win, 0, 0, 0, 0,
+                        (int16_t)(w->width / 2), (int16_t)(w->height / 2));
+    w->api.flush(w->conn);
 }
 
 int bang_win_should_close(void *handle) {

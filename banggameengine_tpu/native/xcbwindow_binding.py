@@ -65,6 +65,10 @@ def _load():
     lib.bang_win_close.argtypes = [ctypes.c_void_p]
     lib.bang_win_set_title.restype = None
     lib.bang_win_set_title.argtypes = [ctypes.c_void_p, ctypes.c_char_p]
+    lib.bang_win_set_cursor_locked.restype = None
+    lib.bang_win_set_cursor_locked.argtypes = [ctypes.c_void_p, ctypes.c_int]
+    lib.bang_win_warp_center.restype = None
+    lib.bang_win_warp_center.argtypes = [ctypes.c_void_p]
     return lib
 
 
@@ -103,6 +107,13 @@ class NativeXcbWindow:
 
     def set_title(self, title: str) -> None:
         self._lib.bang_win_set_title(self._handle, title.encode("utf-8"))
+
+    def set_cursor_locked(self, locked: bool) -> None:
+        self._lib.bang_win_set_cursor_locked(self._handle, int(locked))
+
+    def warp_center(self) -> None:
+        """Re-center the pointer while locked (call after draining poll)."""
+        self._lib.bang_win_warp_center(self._handle)
 
     def close(self) -> None:
         if self._handle:
