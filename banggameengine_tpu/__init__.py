@@ -9,6 +9,36 @@ meshes.
 
 __version__ = "0.1.0"
 
+import os as _os
+
+
+def _enable_compilation_cache() -> None:
+    """Persistent XLA compilation cache under the repo.
+
+    Fresh compiles through the tunneled TPU runtime take minutes; the
+    on-disk cache makes every subsequent process start (benches, the
+    driver, profiling scripts) reuse them.  Opt out with
+    ``BANG_NO_COMP_CACHE=1``.
+    """
+    if _os.environ.get("BANG_NO_COMP_CACHE"):
+        return
+    try:
+        import jax
+
+        cache_dir = _os.environ.get(
+            "JAX_COMPILATION_CACHE_DIR",
+            _os.path.join(_os.path.dirname(_os.path.dirname(
+                _os.path.abspath(__file__))), ".jax_cache"),
+        )
+        _os.makedirs(cache_dir, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+    except Exception:
+        pass  # never block import on cache issues
+
+
+_enable_compilation_cache()
+
 from banggameengine_tpu import math3d  # noqa: F401
 from banggameengine_tpu.state import (  # noqa: F401
     InputFrame,

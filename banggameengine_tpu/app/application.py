@@ -45,9 +45,18 @@ class Application:
         width: int = 1280,
         height: int = 720,
         input_source=None,
+        fused_tick: bool = False,
     ):
         self.width = width
         self.height = height
+        # fused_tick=True drains the accumulator through make_frame_fn
+        # (substeps + shaded frame in queued device dispatches, trigger
+        # events carried back) — the production interactive path; the
+        # default keeps separate step/render dispatches (overlay/HUD
+        # flexibility, per-substep orbit updates)
+        self.fused_tick = fused_tick
+        self._frame_fns: dict = {}
+        self.last_frame_image: np.ndarray | None = None
         self.resources = ResourceManager(assets_root)
         root = self.resources.get_assets_root()
         self.scene_path = os.path.join(root, scene_path)
@@ -107,6 +116,7 @@ class Application:
         self.built = built
         self.state = built.initial_state
         self._render = None  # lazily rebuilt (render scene changed)
+        self._frame_fns = {}  # fused ticks capture the old built's arrays
         self.orbit.on_scene_reloaded()
         log.info(
             "[App] scene %s: %d entities, %d renderers, %d colliders",
@@ -130,6 +140,8 @@ class Application:
             rebuilt = build_scene(desc, self.resources, self.config,
                                   capacity=self.built.static.capacity)
             self.built.static = rebuilt.static
+            for fn in self._frame_fns.values():
+                fn.update_static(rebuilt.static)  # no recompile (same shapes)
             log.info("[Physics] config hot-reloaded")
             return True
         except Exception as e:
@@ -157,9 +169,18 @@ class Application:
 
         fixed = self.config.fixed_step
         self._accumulator += dt
-        while self._accumulator >= fixed:
-            self.update(fixed)
-            self._accumulator -= fixed
+        if self.fused_tick:
+            # drain up to 4 substeps through the fused interactive tick
+            # (stepSimulation(dt, maxSubsteps=4, fixedStep) semantics,
+            # PhysicsSystem.cpp:848-875)
+            n = min(int(self._accumulator / fixed), 4)
+            if n > 0:
+                self._fused_frame(n, fixed)
+                self._accumulator -= n * fixed
+        else:
+            while self._accumulator >= fixed:
+                self.update(fixed)
+                self._accumulator -= fixed
 
         self._status_timer += dt
         if self._status_timer >= 0.5:
@@ -167,6 +188,44 @@ class Application:
             self.last_status = self.status_line()
             log.info(self.last_status)
         self.frame_count += 1
+
+    def _fused_frame(self, substeps: int, fixed_dt: float) -> None:
+        """Drain ``substeps`` fixed steps + render one shaded frame via the
+        event-carrying fused tick (one make_frame_fn call, two queued
+        device dispatches), then dispatch the per-substep trigger events.
+        """
+        from banggameengine_tpu.render.pipeline import make_frame_fn
+
+        target = self.built.find_entity(self.orbit.target_id)
+        self.orbit.update(substeps * fixed_dt, self.state.world, target)
+
+        key = (substeps,)
+        if key not in self._frame_fns:
+            self._frame_fns[key] = make_frame_fn(
+                self.built, self.width, self.height, substeps=substeps)
+        inp = InputFrame(
+            move_forward=jnp.float32(self.input.get_axis("MoveForward")),
+            move_right=jnp.float32(self.input.get_axis("MoveRight")),
+            jump=jnp.asarray(self.input.action_pressed("Jump")),
+            sprint=jnp.asarray(self.input.action_held("Sprint")),
+            cam_yaw=jnp.float32(self.camera.yaw),
+        )
+        view = jnp.asarray(self.camera.view_matrix())
+        proj = jnp.asarray(self.camera.proj_matrix(self.width / self.height))
+        self.state, img, events = self._frame_fns[key](
+            self.state, inp, view, proj, jnp.asarray(self.camera.position),
+            self.light,
+        )
+        self.last_frame_image = np.asarray(img)
+        te = self.built.static.trig_entity
+        if substeps == 1:
+            dispatch_step_events(self.bus, events, te)
+        else:
+            import jax
+
+            for i in range(substeps):
+                dispatch_step_events(
+                    self.bus, jax.tree.map(lambda a: a[i], events), te)
 
     def update(self, fixed_dt: float) -> None:
         """One fixed step: orbit -> device step -> events -> HUD raycast."""

@@ -29,7 +29,9 @@ from banggameengine_tpu.physics.solver import (
     BAUMGARTE,
     PENETRATION_SLOP,
     RESTITUTION_THRESHOLD,
+    WARM_START_FACTOR,
 )
+from banggameengine_tpu.state import FEAT_STRIDE
 
 Array = jax.Array
 
@@ -68,15 +70,22 @@ def box_contacts_t(
     nb_valid: Array,   # bool[N,K]
     ground_valid: Array,  # bool[N] row may contact the ground plane
     budget: int = 12,
+    orig_id: Array | None = None,  # i32[N] original (unsorted) body ids
 ):
     """Box-box SAT manifolds + ground contacts, compacted per body.
 
     Returns transposed contact arrays, everything [C, N] (C = budget):
     (cb partner ids with -1 = static/ground, point xyz, normal xyz from
-    partner toward row body, depth, valid, overflow).
+    partner toward row body, depth, valid, overflow).  When ``orig_id``
+    is given (the Morton-sort permutation's original ids), an extra
+    ``c_feat`` [C, N] of persistent-cache feature ids is appended:
+    ``(orig_partner + 1) * FEAT_STRIDE + candidate_slot`` for pair
+    contacts, bare corner index for ground — identical to the dense
+    path's scheme so the cache is path-portable.
     """
     n = pos.shape[0]
     k = nb_idx.shape[1]
+    want_feat = orig_id is not None
 
     px, py, pz = pos[:, 0], pos[:, 1], pos[:, 2]
     hx, hy, hz = half[:, 0], half[:, 1], half[:, 2]
@@ -92,12 +101,16 @@ def box_contacts_t(
     # pads its minor dim to the 128-lane tile and re-reads 8x per column
     # slice; separate per-array gathers lower to ~0.8 ms scalar gathers
     # each at N=10k.)  The barrier pins the gather to run once.
-    packed_t = jnp.stack([px, py, pz, hx, hy, hz] + list(a))  # [15, N]
+    rows = [px, py, pz, hx, hy, hz] + list(a)
+    if want_feat:
+        rows.append(orig_id.astype(jnp.float32))
+    packed_t = jnp.stack(rows)                          # [15(+1), N]
     g = jax.lax.optimization_barrier(
-        jnp.take(packed_t, safe, axis=1))               # [15, K, N]
+        jnp.take(packed_t, safe, axis=1))               # [15(+1), K, N]
     qbx, qby, qbz = g[0], g[1], g[2]
     gx, gy, gz = g[3], g[4], g[5]
     b = tuple(g[6 + i] for i in range(9))               # Rb comps, [K,N]
+    partner_orig = g[15] if want_feat else None         # f32 [K,N]
 
     # ---- SAT: 15 axes, component form ---------------------------------
     # R = Ra^T Rb  (r[i][j] = sum_k Ra[k][i] Rb[k][j]), [K,N]
@@ -344,6 +357,13 @@ def box_contacts_t(
     nys = jnp.broadcast_to(bny, (cap, k, n)).reshape(m_pair, n)
     nzs = jnp.broadcast_to(bnz, (cap, k, n)).reshape(m_pair, n)
     prt = jnp.broadcast_to(idx_t, (cap, k, n)).reshape(m_pair, n)
+    if want_feat:
+        # preserved ORIGINAL candidate-slot ids (stable geometric features)
+        slot3 = jax.lax.broadcasted_iota(
+            jnp.int32, (K_BB, k, n), 0).astype(jnp.float32)
+        cap_slot = cap_take(slot3).reshape(m_pair, n)
+        feat = ((jnp.broadcast_to(partner_orig, (cap, k, n))
+                 .reshape(m_pair, n) + 1.0) * float(FEAT_STRIDE) + cap_slot)
 
     # ground: 8 corners of each box against y=0 (normal +Y), same cap — a
     # resting box touches with at most 4 corners
@@ -379,6 +399,11 @@ def box_contacts_t(
     dep = jnp.concatenate([dep, g_dep])
     val = jnp.concatenate([val, g_val])
     prt = jnp.concatenate([prt, jnp.full((cap, n), -1, jnp.int32)])
+    if want_feat:
+        g_slot3 = jax.lax.broadcasted_iota(
+            jnp.int32, (K_GROUND, n), 0).astype(jnp.float32)
+        g_feat = g_take(g_slot3)                     # bare corner index
+        feat = jnp.concatenate([feat, g_feat])
 
     # ---- stage 2: compact to [budget, N] ---------------------------------
     dest = jnp.cumsum(val.astype(jnp.int32), axis=0) - 1
@@ -406,8 +431,12 @@ def box_contacts_t(
     c_prt = jnp.where(c_valid, c_prt, -1)
     overflow = (jnp.sum(jnp.maximum(counts - budget, 0))
                 + pair_overflow + ground_overflow)
-    return (c_prt, c_ptx, c_pty, c_ptz, c_nx, c_ny, c_nz, c_dep, c_valid,
+    base = (c_prt, c_ptx, c_pty, c_ptz, c_nx, c_ny, c_nz, c_dep, c_valid,
             overflow)
+    if want_feat:
+        c_feat = jnp.where(c_valid, take(feat, -1.0).astype(jnp.int32), -1)
+        return base + (c_feat,)
+    return base
 
 
 def _inertia_world_comps(quat: Array, inv_inertia_body: Array):
@@ -435,7 +464,8 @@ def _sym_mul(i6, vx, vy, vz):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("iterations", "ground_friction"))
+    jax.jit, static_argnames=("iterations", "ground_friction",
+                              "return_lambdas"))
 def solve_contacts_t(
     vel: Array,        # f32[N,3]
     ang: Array,        # f32[N,3]
@@ -448,9 +478,16 @@ def solve_contacts_t(
     dt,
     iterations: int = 10,
     ground_friction: float = 0.5,
+    warm=None,
+    return_lambdas: bool = False,
 ):
     """Transposed image of :func:`solver.solve_contacts_unified` (same
-    mass-splitting Jacobi scheme, same constants); returns (vel, ang)."""
+    mass-splitting Jacobi scheme, same constants); returns (vel, ang).
+
+    ``warm`` = cached (ln, lt1, lt2) each [C, N] from feature-matched
+    previous-step contacts; applied up-front and used to seed the
+    accumulators (persistent-manifold warm starting).
+    ``return_lambdas=True`` appends the accumulated (ln, lt1, lt2)."""
     n = pos.shape[0]
     vx, vy, vz = vel[:, 0], vel[:, 1], vel[:, 2]
     wx, wy, wz = ang[:, 0], ang[:, 1], ang[:, 2]
@@ -556,6 +593,29 @@ def solve_contacts_t(
 
     zeros = jnp.zeros_like(c_dep)
 
+    if warm is not None:
+        # Bullet's 0.85 warm-starting factor (see solver.py): damped reuse
+        # avoids freezing unstable equilibria
+        ln0 = jnp.where(
+            c_valid, jnp.maximum(warm[0], 0.0) * WARM_START_FACTOR, 0.0)
+        lt10 = jnp.where(c_valid, warm[1] * WARM_START_FACTOR, 0.0)
+        lt20 = jnp.where(c_valid, warm[2] * WARM_START_FACTOR, 0.0)
+        impx0 = ln0 * c_nx + lt10 * t1x + lt20 * t2x
+        impy0 = ln0 * c_ny + lt10 * t1y + lt20 * t2y
+        impz0 = ln0 * c_nz + lt10 * t1z + lt20 * t2z
+        vx = vx + jnp.sum(impx0, axis=0) * inv_split_m
+        vy = vy + jnp.sum(impy0, axis=0) * inv_split_m
+        vz = vz + jnp.sum(impz0, axis=0) * inv_split_m
+        tqx0, tqy0, tqz0 = _cross(rax, ray, raz, impx0, impy0, impz0)
+        iwx0, iwy0, iwz0 = _sym_mul(
+            ia, jnp.sum(tqx0, axis=0), jnp.sum(tqy0, axis=0),
+            jnp.sum(tqz0, axis=0))
+        wx = wx + iwx0 * inv_split
+        wy = wy + iwy0 * inv_split
+        wz = wz + iwz0 * inv_split
+    else:
+        ln0 = lt10 = lt20 = zeros
+
     def body(_, carry):
         vx_, vy_, vz_, wx_, wy_, wz_, ln, lt1, lt2 = carry
         rx, ry, rz = rel_vel(vx_, vy_, vz_, wx_, wy_, wz_,
@@ -594,7 +654,10 @@ def solve_contacts_t(
         wz_ = wz_ + iwz * inv_split
         return vx_, vy_, vz_, wx_, wy_, wz_, ln, lt1, lt2
 
-    carry = (vx, vy, vz, wx, wy, wz, zeros, zeros, zeros)
+    carry = (vx, vy, vz, wx, wy, wz, ln0, lt10, lt20)
     carry = jax.lax.fori_loop(0, iterations, body, carry)
     vx, vy, vz, wx, wy, wz = carry[:6]
-    return jnp.stack([vx, vy, vz], axis=1), jnp.stack([wx, wy, wz], axis=1)
+    out = (jnp.stack([vx, vy, vz], axis=1), jnp.stack([wx, wy, wz], axis=1))
+    if return_lambdas:
+        return out + ((carry[6], carry[7], carry[8]),)
+    return out

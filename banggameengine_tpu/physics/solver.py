@@ -42,6 +42,7 @@ Array = jax.Array
 BAUMGARTE = 0.2            # Bullet global ERP default
 PENETRATION_SLOP = 0.005   # ~ Bullet linear slop
 RESTITUTION_THRESHOLD = 1.0  # Bullet restitution velocity threshold
+WARM_START_FACTOR = 0.85   # btContactSolverInfo m_warmstartingFactor
 
 
 def _orthonormal_tangents(n: Array) -> tuple[Array, Array]:
@@ -90,13 +91,16 @@ def compact_contacts(
     depth: Array,    # f32[N, M]
     valid: Array,    # bool[N, M]
     budget: int,
+    feat: Array | None = None,  # i32[N, M] contact feature ids
 ):
     """Compress candidate slots to ``[N, budget]`` per-body contact lists.
 
     Sort-free: destinations come from a running count (stable order) and the
     move is a one-hot contraction on the MXU — cheaper on TPU than the
     argsort-based compaction it replaces.  Overflow (more real contacts than
-    budget) is returned for diagnostics.
+    budget) is returned for diagnostics.  When ``feat`` is given (persistent
+    contact-cache features), a compacted ``c_feat`` (-1 in empty slots) is
+    appended to the return.
     """
     sel, new_valid, counts = compaction_matrix(valid, budget)
 
@@ -115,10 +119,13 @@ def compact_contacts(
         new_valid,
     )
     overflow = jnp.sum(jnp.maximum(counts - budget, 0))
+    if feat is not None:
+        c_f = jnp.where(new_valid, move(feat).astype(jnp.int32), -1)
+        return out + (overflow, c_f)
     return out + (overflow,)
 
 
-@partial(jax.jit, static_argnames=("iterations",))
+@partial(jax.jit, static_argnames=("iterations", "return_lambdas"))
 def solve_contacts_unified(
     v: Array,            # f32[N,3] linear velocity (pre-solve)
     w: Array,            # f32[N,3] angular velocity
@@ -134,8 +141,18 @@ def solve_contacts_unified(
     c_e: Array,          # f32[N,C] combined restitution
     dt: Array,
     iterations: int = 10,
-) -> tuple[Array, Array]:
-    """Solve the compacted contact set; returns post-solve (v, w)."""
+    warm: tuple[Array, Array, Array] | None = None,
+    return_lambdas: bool = False,
+) -> tuple[Array, ...]:
+    """Solve the compacted contact set; returns post-solve (v, w).
+
+    ``warm`` = cached (lambda_n, lambda_t1, lambda_t2) f32[N,C] from the
+    previous step's feature-matched contacts (Bullet-style warm starting:
+    the cached impulses are applied to the velocities up-front and the
+    accumulators start from them, so the iterative solve only refines the
+    *change* — stacks settle instead of re-fighting gravity from zero each
+    step).  ``return_lambdas=True`` appends the accumulated
+    (ln, lt1, lt2) to the return for the caller to cache."""
     is_static = c_b < 0
     safe_b = jnp.maximum(c_b, 0)
 
@@ -181,6 +198,28 @@ def solve_contacts_unified(
 
     zeros = jnp.zeros_like(c_depth)
 
+    if warm is not None:
+        # apply the cached impulses BEFORE iterating (restitution target
+        # above already captured the true pre-solve approach speed); the
+        # 0.85 factor is Bullet's warm-starting damping — full-strength
+        # reuse can freeze unstable equilibria (a cube balancing on its
+        # edge forever) because the solve then needs zero correction
+        ln0 = jnp.where(
+            c_valid, jnp.maximum(warm[0], 0.0) * WARM_START_FACTOR, 0.0)
+        lt10 = jnp.where(c_valid, warm[1] * WARM_START_FACTOR, 0.0)
+        lt20 = jnp.where(c_valid, warm[2] * WARM_START_FACTOR, 0.0)
+        imp0 = (
+            ln0[..., None] * c_normal
+            + lt10[..., None] * t1
+            + lt20[..., None] * t2
+        )
+        lin0 = jnp.sum(imp0, axis=1)
+        ang0 = jnp.sum(jnp.cross(ra, imp0), axis=1)
+        v = v + lin0 * (inv_m / split)[:, None]
+        w = w + jnp.einsum("nij,nj->ni", inv_i_world, ang0) / split[:, None]
+    else:
+        ln0 = lt10 = lt20 = zeros
+
     def body(_, carry):
         v_, w_, ln, lt1, lt2 = carry
         vr = rel_vel(v_, w_)
@@ -211,6 +250,8 @@ def solve_contacts_unified(
         w_ = w_ + jnp.einsum("nij,nj->ni", inv_i_world, ang) / split[:, None]
         return v_, w_, ln, lt1, lt2
 
-    carry = (v, w, zeros, zeros, zeros)
+    carry = (v, w, ln0, lt10, lt20)
     carry = jax.lax.fori_loop(0, iterations, body, carry)
+    if return_lambdas:
+        return carry[0], carry[1], (carry[2], carry[3], carry[4])
     return carry[0], carry[1]

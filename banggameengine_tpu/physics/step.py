@@ -35,6 +35,7 @@ from banggameengine_tpu.state import (
     COMP_CHARACTER,
     COMP_COLLIDER,
     COMP_RIGID_BODY,
+    FEAT_STRIDE,
     InputFrame,
     StaticScene,
     StepEvents,
@@ -86,6 +87,7 @@ def physics_step(
     any_char: bool | None = None,
     enable_capsule: bool | None = None,
     any_trig: bool | None = None,
+    warm_start: bool = True,
 ) -> tuple[WorldState, StepEvents]:
     dt = static.fixed_dt
     n = state.capacity
@@ -253,23 +255,62 @@ def physics_step(
             interpret=(jax.default_backend() == "cpu"),
         )
         ground_ok_s = (dyn_s > 0) & jnp.asarray(static.ground_enabled)
-        (c_prt, c_ptx, c_pty, c_ptz, c_nx, c_ny, c_nz, c_dep, c_valid,
-         _ovf) = contact_t.box_contacts_t(
-            pos_s, quat_s, half_s, nl.idx, nl.valid, ground_ok_s,
-            budget=CONTACT_BUDGET,
-        )
-        vel_s, ang_s = contact_t.solve_contacts_t(
-            vel_s, ang_s, pos_s, quat_s, inv_m_s, inertia_s,
-            c_prt, c_ptx, c_pty, c_ptz, c_nx, c_ny, c_nz, c_dep, c_valid,
-            fric_s, rest_s, dt,
-            iterations=solver_iterations, ground_friction=GROUND_FRICTION,
-        )
+        if warm_start:
+            (c_prt, c_ptx, c_pty, c_ptz, c_nx, c_ny, c_nz, c_dep, c_valid,
+             _ovf, c_feat) = contact_t.box_contacts_t(
+                pos_s, quat_s, half_s, nl.idx, nl.valid, ground_ok_s,
+                budget=CONTACT_BUDGET, orig_id=order,
+            )
+            # cache lives in ORIGINAL id space (stable across the per-step
+            # Morton re-sort); gather to sorted space, match, scatter back
+            cache_feat_s = state.contact_feat[order].T    # [CB, N]
+            cache_imp_s = jnp.transpose(
+                state.contact_imp[order], (1, 2, 0))      # [CB, 3, N]
+            eq = (
+                (c_feat[:, None, :] == cache_feat_s[None, :, :])
+                & (c_feat >= 0)[:, None, :]
+            ).astype(jnp.float32)                         # [C, CB, N]
+            warm = tuple(
+                jnp.einsum("cdn,dn->cn", eq, cache_imp_s[:, i, :])
+                for i in range(3)
+            )
+            vel_s, ang_s, (ln, lt1, lt2) = contact_t.solve_contacts_t(
+                vel_s, ang_s, pos_s, quat_s, inv_m_s, inertia_s,
+                c_prt, c_ptx, c_pty, c_ptz, c_nx, c_ny, c_nz, c_dep,
+                c_valid, fric_s, rest_s, dt,
+                iterations=solver_iterations,
+                ground_friction=GROUND_FRICTION,
+                warm=warm, return_lambdas=True,
+            )
+            imp_s = jnp.where(
+                c_valid.T[..., None],
+                jnp.stack([ln.T, lt1.T, lt2.T], axis=-1), 0.0)  # [N, C, 3]
+            feat_s = jnp.where(c_valid, c_feat, -1).T           # [N, C]
+            contact_cache = (
+                jnp.full_like(state.contact_feat, -1).at[order].set(feat_s),
+                jnp.zeros_like(state.contact_imp).at[order].set(imp_s),
+            )
+        else:
+            (c_prt, c_ptx, c_pty, c_ptz, c_nx, c_ny, c_nz, c_dep, c_valid,
+             _ovf) = contact_t.box_contacts_t(
+                pos_s, quat_s, half_s, nl.idx, nl.valid, ground_ok_s,
+                budget=CONTACT_BUDGET,
+            )
+            vel_s, ang_s = contact_t.solve_contacts_t(
+                vel_s, ang_s, pos_s, quat_s, inv_m_s, inertia_s,
+                c_prt, c_ptx, c_pty, c_ptz, c_nx, c_ny, c_nz, c_dep,
+                c_valid, fric_s, rest_s, dt,
+                iterations=solver_iterations,
+                ground_friction=GROUND_FRICTION,
+            )
+            contact_cache = None
         out = jnp.concatenate([vel_s, ang_s], axis=1)
         out = jnp.zeros((n, 6), jnp.float32).at[order].set(out)
         vel, ang = out[:, 0:3], out[:, 3:6]
         return _finish_step(state, static, pos, quat, vel, ang,
                             char_vel_y, char_on_ground, is_dynamic, moving,
-                            alive, has_collider, trigger_mode, dt, any_trig)
+                            alive, has_collider, trigger_mode, dt, any_trig,
+                            contact_cache=contact_cache)
     if broadphase == "dense":
         from banggameengine_tpu.physics.broadphase import (
             build_neighbor_lists_dense,
@@ -337,8 +378,21 @@ def physics_step(
     all_d = jnp.concatenate([p_depth.reshape(n, m_pair), g_depth], axis=1)
     all_v = jnp.concatenate([p_valid.reshape(n, m_pair), g_valid], axis=1)
 
-    c_b, c_pt, c_n, c_d, c_valid, _overflow = sv.compact_contacts(
-        all_b, all_pt, all_n, all_d, all_v, CONTACT_BUDGET
+    # contact feature ids for the persistent cache: (partner+1)*FEAT_STRIDE
+    # + narrowphase slot k for pair contacts (stable across steps because k
+    # names a geometric feature — corner index / SAT-center / capsule
+    # sample); bare slot id for ground contacts
+    k_pair = p_depth.shape[2]
+    pair_feat = (partner + 1) * FEAT_STRIDE + jnp.arange(k_pair)[None, None, :]
+    all_f = jnp.concatenate(
+        [pair_feat.reshape(n, m_pair),
+         jnp.broadcast_to(jnp.arange(nf.K_GROUND)[None, :], (n, nf.K_GROUND))],
+        axis=1,
+    )
+
+    # (the one-hot feature move is exact below 2^24, i.e. capacities < 262k)
+    c_b, c_pt, c_n, c_d, c_valid, _overflow, c_f = sv.compact_contacts(
+        all_b, all_pt, all_n, all_d, all_v, CONTACT_BUDGET, feat=all_f
     )
     safe_b = jnp.maximum(c_b, 0)
     static_side = c_b < 0
@@ -353,20 +407,45 @@ def physics_step(
     )
 
     inv_i_w = sv.inv_inertia_world(quat, static.inv_inertia_body)
-    vel, ang = sv.solve_contacts_unified(
-        vel, ang, pos, static.inv_mass, inv_i_w,
-        c_b, c_pt, c_n, c_d, c_valid, c_mu, c_e, dt,
-        iterations=solver_iterations,
-    )
+
+    if warm_start:
+        # feature-match against the previous step's cache (the TPU image of
+        # Bullet's persistent-manifold impulse cache): [C, C0] equality
+        # one-hot contraction per body — tiny, dense, vmap-safe
+        match = (
+            (c_f[:, :, None] == state.contact_feat[:, None, :])
+            & (c_f >= 0)[:, :, None]
+        ).astype(jnp.float32)
+        warm_imp = jnp.einsum("ncd,ndk->nck", match, state.contact_imp)
+        warm = (warm_imp[..., 0], warm_imp[..., 1], warm_imp[..., 2])
+        vel, ang, (ln, lt1, lt2) = sv.solve_contacts_unified(
+            vel, ang, pos, static.inv_mass, inv_i_w,
+            c_b, c_pt, c_n, c_d, c_valid, c_mu, c_e, dt,
+            iterations=solver_iterations, warm=warm, return_lambdas=True,
+        )
+        contact_cache = (
+            c_f,
+            jnp.where(c_valid[..., None],
+                      jnp.stack([ln, lt1, lt2], axis=-1), 0.0),
+        )
+    else:
+        vel, ang = sv.solve_contacts_unified(
+            vel, ang, pos, static.inv_mass, inv_i_w,
+            c_b, c_pt, c_n, c_d, c_valid, c_mu, c_e, dt,
+            iterations=solver_iterations,
+        )
+        contact_cache = None
     return _finish_step(state, static, pos, quat, vel, ang,
                         char_vel_y, char_on_ground, is_dynamic, moving,
-                        alive, has_collider, trigger_mode, dt, any_trig)
+                        alive, has_collider, trigger_mode, dt, any_trig,
+                        contact_cache=contact_cache)
 
 
 def _finish_step(state, static, pos, quat, vel, ang, char_vel_y,
                  char_on_ground, is_dynamic, moving, alive, has_collider,
                  trigger_mode, dt,
-                 any_trig=None) -> tuple[WorldState, StepEvents]:
+                 any_trig=None,
+                 contact_cache=None) -> tuple[WorldState, StepEvents]:
     """Shared step tail: integrate, triggers, state assembly."""
     # semi-implicit Euler integrate dynamic AND kinematic bodies (kinematic
     # velocity is host-driven and persists across steps until changed)
@@ -408,6 +487,10 @@ def _finish_step(state, static, pos, quat, vel, ang, char_vel_y,
         state.trigger_overlap, overlap, static.trig_one_shot, state.trigger_active
     )
 
+    cache_updates = {}
+    if contact_cache is not None:
+        cache_updates = dict(contact_feat=contact_cache[0],
+                             contact_imp=contact_cache[1])
     new_state = dataclasses.replace(
         state,
         pos=pos,
@@ -420,6 +503,7 @@ def _finish_step(state, static, pos, quat, vel, ang, char_vel_y,
         trigger_active=new_active,
         time=state.time + dt,
         step_idx=state.step_idx + 1,
+        **cache_updates,
     )
     events = StepEvents(trigger_enter=enter, trigger_stay=stay, trigger_exit=exit_)
     return new_state, events

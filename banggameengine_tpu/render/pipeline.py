@@ -120,14 +120,21 @@ def make_render_fn(render_scene, width: int, height: int,
 
 def make_frame_fn(built, width: int, height: int,
                   solver_iterations: int = 10, bin_capacity: int = 2048,
-                  pipelined: bool = False,
+                  pipelined: bool = False, substeps: int = 1,
+                  merged: bool = False,
                   **physics_kwargs):
-    """The interactive tick: engine step + shaded frame, one host call.
+    """The interactive tick: engine step(s) + shaded frame, one host call.
 
-    Two queued device dispatches (step with donated WorldState, and the
-    renderer) with NO host synchronization in between.  Measured on the
-    chip this beats a single fused executable by ~30% (XLA schedules the
-    merged step+render program worse than the two tuned programs).
+    By default, two queued device dispatches (step with donated WorldState,
+    and the renderer) with NO host synchronization in between.  Measured on
+    the chip this beats a single fused executable (XLA schedules the merged
+    step+render program worse than the two tuned programs); ``merged=True``
+    builds the single-executable variant for A/B measurement.
+
+    ``substeps`` runs that many fixed steps per frame (the reference's
+    fixed-step accumulator draining up to 4 substeps per display frame,
+    ``Application.cpp:97-101`` / ``stepSimulation(dt, 4, fixedStep)``);
+    events then gain a leading [substeps] axis.
 
     ``pipelined=True`` renders the CURRENT state's world while the step
     computes the next one (one tick of visual latency, the classic
@@ -137,7 +144,11 @@ def make_frame_fn(built, width: int, height: int,
     so the default stays ``False`` (render the post-step world).
 
     Returns ``call(state, inp, view, proj, cam_pos, light=None)
-    -> (new_state, u8[H,W,4])``.
+    -> (new_state, u8[H,W,4], StepEvents)``.  Unlike round 2, the trigger
+    events are returned (not discarded): the fused interactive tick has
+    full gameplay-event parity with the reference's per-step
+    ``ProcessTriggerEvents`` (``PhysicsSystem.cpp:1017-1074``) — feed them
+    to :func:`banggameengine_tpu.app.events.dispatch_step_events`.
     """
     from banggameengine_tpu.engine import engine_step
     from banggameengine_tpu.physics.step import scene_census
@@ -145,28 +156,54 @@ def make_frame_fn(built, width: int, height: int,
     kwargs = {**scene_census(built.static), **physics_kwargs}
 
     def step(state, inp, st):
-        s2, _ev = engine_step(state, inp, st, solver_iterations, **kwargs)
-        return s2
+        if substeps == 1:
+            return engine_step(state, inp, st, solver_iterations, **kwargs)
+
+        def body(carry, _):
+            s, ev = engine_step(carry, inp, st, solver_iterations, **kwargs)
+            return s, ev
+
+        return jax.lax.scan(body, state, None, length=substeps)
 
     def render(rs, world, view, proj, cam_pos, light):
         return render_frame(rs, world, view, proj, cam_pos, light,
                             width=width, height=height,
                             bin_capacity=bin_capacity)
 
-    jstep = jax.jit(step, donate_argnums=(0,))
-    jrender = jax.jit(render)
-    st = jax.device_put(built.static)
+    # the static scene enters the executables as a traced argument, so a
+    # config hot reload (same shapes) swaps it without recompiling:
+    # call.update_static(new_static)
+    bound = {"st": jax.device_put(built.static)}
     rs = jax.device_put(built.render)
 
-    if pipelined:
-        def call(state, inp, view, proj, cam_pos, light=None):
-            img = jrender(rs, state.world, view, proj, cam_pos, light)
-            s2 = jstep(state, inp, st)
-            return s2, img
-    else:
-        def call(state, inp, view, proj, cam_pos, light=None):
-            s2 = jstep(state, inp, st)
-            img = jrender(rs, s2.world, view, proj, cam_pos, light)
-            return s2, img
+    if merged:
+        def tick(state, inp, st_, rs_, view, proj, cam_pos, light):
+            s2, ev = step(state, inp, st_)
+            img = render(rs_, s2.world, view, proj, cam_pos, light)
+            return s2, img, ev
 
+        jtick = jax.jit(tick, donate_argnums=(0,))
+
+        def call(state, inp, view, proj, cam_pos, light=None):
+            return jtick(state, inp, bound["st"], rs, view, proj, cam_pos,
+                         light)
+    else:
+        jstep = jax.jit(step, donate_argnums=(0,))
+        jrender = jax.jit(render)
+
+        if pipelined:
+            def call(state, inp, view, proj, cam_pos, light=None):
+                img = jrender(rs, state.world, view, proj, cam_pos, light)
+                s2, ev = jstep(state, inp, bound["st"])
+                return s2, img, ev
+        else:
+            def call(state, inp, view, proj, cam_pos, light=None):
+                s2, ev = jstep(state, inp, bound["st"])
+                img = jrender(rs, s2.world, view, proj, cam_pos, light)
+                return s2, img, ev
+
+    def update_static(new_static):
+        bound["st"] = jax.device_put(new_static)
+
+    call.update_static = update_static
     return call

@@ -85,6 +85,16 @@ class WorldState:
     trigger_active: Array   # bool[T] (oneShot deactivation,
     #                                  PhysicsSystem.cpp:1062-1072)
 
+    # --- persistent contact cache (warm starting) ---
+    # The TPU image of Bullet's persistent manifolds (the default collision
+    # configuration keeps face-clipped manifolds + accumulated impulses
+    # across steps, PhysicsSystem.cpp:124-128): per solved contact slot, a
+    # feature id ((partner+1)*FEAT_STRIDE + narrowphase slot; ground slots
+    # are bare slot ids; -1 = empty) and the accumulated (normal, t1, t2)
+    # impulses.  Next step's solver warm-starts from feature-matched rows.
+    contact_feat: Array   # i32[N, CB]
+    contact_imp: Array    # f32[N, CB, 3] (lambda_n, lambda_t1, lambda_t2)
+
     # --- bookkeeping ---
     time: Array           # f32[] simulation time
     step_idx: Array       # int32[] step counter
@@ -194,7 +204,12 @@ class StepEvents:
     trigger_exit: Array   # bool[T, N]
 
 
-def make_world_state(capacity: int, num_trigger_slots: int) -> WorldState:
+CONTACT_CACHE_SLOTS = 12   # == physics.step.CONTACT_BUDGET
+FEAT_STRIDE = 64           # feature id stride per partner (> narrowphase K)
+
+
+def make_world_state(capacity: int, num_trigger_slots: int,
+                     contact_slots: int = CONTACT_CACHE_SLOTS) -> WorldState:
     """Fresh empty world with the given entity/trigger capacities."""
     n, t = capacity, num_trigger_slots
     return WorldState(
@@ -210,6 +225,8 @@ def make_world_state(capacity: int, num_trigger_slots: int) -> WorldState:
         char_on_ground=jnp.zeros((n,), bool),
         trigger_overlap=jnp.zeros((t, n), bool),
         trigger_active=jnp.ones((t,), bool),
+        contact_feat=jnp.full((n, contact_slots), -1, jnp.int32),
+        contact_imp=jnp.zeros((n, contact_slots, 3), jnp.float32),
         time=jnp.float32(0.0),
         step_idx=jnp.int32(0),
     )

@@ -28,6 +28,9 @@ def main():
     p.add_argument("--record", default=None, help="PNG output directory")
     p.add_argument("--overlay", action="store_true", help="physics debug overlay")
     p.add_argument("--platform", default=None, help="cpu|tpu (default: auto)")
+    p.add_argument("--fused", action="store_true",
+                   help="drive the fused interactive tick (substeps + frame "
+                        "in queued dispatches; events carried back)")
     args = p.parse_args()
 
     if args.platform:
@@ -45,8 +48,8 @@ def main():
 
     window = HeadlessWindow(args.width, args.height, record_dir=args.record)
     app = Application(assets_root=args.assets, width=args.width,
-                      height=args.height)
-    app.physics_overlay = args.overlay
+                      height=args.height, fused_tick=args.fused)
+    app.physics_overlay = args.overlay and not args.fused
 
     cj = app.built.find_entity("cj")
     total = int(args.seconds * args.fps)
@@ -68,7 +71,10 @@ def main():
             src.press("SPACE") if (i % args.fps) == 0 else src.release("SPACE")
 
         app.frame(real_dt=1.0 / args.fps)
-        if args.record or args.overlay:
+        if args.fused:
+            if args.record and app.last_frame_image is not None:
+                window.present(app.last_frame_image)
+        elif args.record or args.overlay:
             window.present(app.render_current_frame(hud=True))
 
     print(app.status_line())

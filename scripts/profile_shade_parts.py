@@ -46,12 +46,12 @@ def timeit(name, fn, *args, reps=20):
 
 
 def main():
-    key = jax.random.PRNGKey(0)
-    tri_rows = jax.random.normal(key, (28, T), jnp.float32)
-    tid = jax.random.randint(key, (P,), 0, T, jnp.int32)
-    tq = jax.random.randint(key, (16, TEX), 0, 255, jnp.int32).astype(jnp.uint8)
-    tq_rows = tq.T.copy()
-    tex_idx = jax.random.randint(key, (P,), 0, TEX, jnp.int32)
+    rng = np.random.default_rng(0)
+    tri_rows = jnp.asarray(rng.standard_normal((28, T)), jnp.float32)
+    tid = jnp.asarray(rng.integers(0, T, P), jnp.int32)
+    tq = jnp.asarray(rng.integers(0, 255, (16, TEX)), jnp.uint8)
+    tq_rows = jnp.asarray(np.asarray(tq).T.copy())
+    tex_idx = jnp.asarray(rng.integers(0, TEX, P), jnp.int32)
 
     tri_rows, tid, tq, tq_rows, tex_idx = jax.device_put(
         (tri_rows, tid, tq, tq_rows, tex_idx))
@@ -72,8 +72,8 @@ def main():
 
     # per-tile one-hot matmul resolve: 510 tiles x 4096 px x 80 slots
     n_tiles, px, K = 510, 4096, 80
-    slot_idx = jax.random.randint(key, (n_tiles, px), 0, K, jnp.int32)
-    tables = jax.random.normal(key, (n_tiles, K, 28), jnp.float32)
+    slot_idx = jnp.asarray(rng.integers(0, K, (n_tiles, px)), jnp.int32)
+    tables = jnp.asarray(rng.standard_normal((n_tiles, K, 28)), jnp.float32)
     slot_idx, tables = jax.device_put((slot_idx, tables))
 
     @jax.jit

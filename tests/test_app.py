@@ -378,3 +378,38 @@ class TestApplication:
         img = app.render_current_frame()
         assert img.shape == (90, 160, 4)
         assert img.dtype == np.uint8
+
+
+@needs_ref
+class TestApplicationFusedTick:
+    """Application with fused_tick=True: substeps + frame + events through
+    make_frame_fn (the production interactive path)."""
+
+    @pytest.fixture(scope="class")
+    def app(self):
+        from banggameengine_tpu.app.application import Application
+
+        return Application(assets_root=REF_ASSETS, width=160, height=90,
+                           fused_tick=True)
+
+    def test_fused_frames_step_and_render(self, app):
+        for _ in range(6):
+            app.frame(real_dt=2 / 120)  # 2 substeps per frame
+        assert int(app.state.step_idx) == 12
+        assert app.last_frame_image is not None
+        assert app.last_frame_image.shape == (90, 160, 4)
+
+    def test_fused_trigger_events_reach_bus(self, app):
+        import jax
+        import jax.numpy as jnp
+
+        from banggameengine_tpu.state import tree_replace
+
+        cj = app.built.find_entity("cj")
+        app.state = tree_replace(
+            app.state, pos=app.state.pos.at[cj].set(
+                jnp.asarray([5.0, 1.0, 5.0])))
+        n0 = len(app._trigger_log)
+        app.frame(real_dt=1 / 120)
+        phases = [e.phase.value for e in app._trigger_log[n0:]]
+        assert "enter" in phases

@@ -58,7 +58,7 @@ def test_frame_fn_strict_matches_separate_step_and_render(built):
     # donation consumes the input state; feed a copy so the shared
     # module fixture stays alive for other tests
     s0 = jax.tree.map(jnp.array, built.initial_state)
-    s2, img = ffn(s0, inp, view, proj, cam_pos)
+    s2, img, ev = ffn(s0, inp, view, proj, cam_pos)
 
     np.testing.assert_array_equal(np.asarray(img), ref_img)
     np.testing.assert_allclose(np.asarray(s2.pos), np.asarray(ref_s.pos))
@@ -80,10 +80,69 @@ def test_frame_fn_pipelined_renders_pre_step_world(built):
     ffn = make_frame_fn(built, W, H, bin_capacity=256, pipelined=True)
     s0 = jax.tree.map(jnp.array, built.initial_state)
     t0 = float(s0.time)
-    s2, img = ffn(s0, inp, view, proj, cam_pos)
+    s2, img, ev = ffn(s0, inp, view, proj, cam_pos)
 
     np.testing.assert_array_equal(np.asarray(img), ref_img)
     assert float(s2.time) > t0      # the state still advanced
+
+
+def test_frame_fn_carries_trigger_events(built):
+    """The fused interactive tick must have gameplay-event parity: placing
+    CJ inside the checkpoint trigger fires ENTER through the frame fn
+    (round-2 VERDICT weak #5: events were silently discarded)."""
+    view, proj, cam_pos = _camera()
+    ffn = make_frame_fn(built, W, H, bin_capacity=256)
+    cj = built.find_entity("cj")
+    s = jax.tree.map(jnp.array, built.initial_state)
+    # drop CJ into the checkpoint volume (trigger box 1.5^3 at (5, 1, 5))
+    from banggameengine_tpu.state import tree_replace
+    s = tree_replace(s, pos=s.pos.at[cj].set(jnp.asarray([5.0, 1.0, 5.0])))
+    inp = InputFrame.zero()
+    s, _img, ev = ffn(s, inp, view, proj, cam_pos)
+    assert bool(ev.trigger_enter[0, cj])
+    # second frame: still inside -> stay, not enter
+    s, _img, ev = ffn(s, inp, view, proj, cam_pos)
+    assert not bool(ev.trigger_enter[0, cj])
+    assert bool(ev.trigger_stay[0, cj])
+
+
+def test_frame_fn_substeps_accumulator(built):
+    """substeps=2 drains two fixed steps per frame (the reference's
+    accumulator at 60 Hz display / 120 Hz sim) and stacks events."""
+    view, proj, cam_pos = _camera()
+    inp = InputFrame.zero()
+
+    ref_s = jax.tree.map(jnp.array, built.initial_state)
+    sfn = jax.jit(engine_step)
+    for _ in range(2):
+        ref_s, _ = sfn(ref_s, inp, built.static)
+    ref_img = np.asarray(jax.jit(
+        lambda rs, w: render_frame(rs, w, view, proj, cam_pos,
+                                   width=W, height=H, bin_capacity=256)
+    )(built.render, ref_s.world))
+
+    ffn = make_frame_fn(built, W, H, bin_capacity=256, substeps=2)
+    s0 = jax.tree.map(jnp.array, built.initial_state)
+    s2, img, ev = ffn(s0, inp, view, proj, cam_pos)
+    np.testing.assert_allclose(np.asarray(s2.pos), np.asarray(ref_s.pos),
+                               atol=1e-6)
+    np.testing.assert_array_equal(np.asarray(img), ref_img)
+    assert ev.trigger_enter.shape[0] == 2  # leading substep axis
+
+
+def test_frame_fn_merged_single_executable_parity(built):
+    view, proj, cam_pos = _camera()
+    inp = InputFrame.zero()
+    ffn = make_frame_fn(built, W, H, bin_capacity=256)
+    mfn = make_frame_fn(built, W, H, bin_capacity=256, merged=True)
+    s_a = jax.tree.map(jnp.array, built.initial_state)
+    s_b = jax.tree.map(jnp.array, built.initial_state)
+    s_a, img_a, ev_a = ffn(s_a, inp, view, proj, cam_pos)
+    s_b, img_b, ev_b = mfn(s_b, inp, view, proj, cam_pos)
+    np.testing.assert_array_equal(np.asarray(img_a), np.asarray(img_b))
+    np.testing.assert_array_equal(np.asarray(ev_a.trigger_enter),
+                                  np.asarray(ev_b.trigger_enter))
+    np.testing.assert_allclose(np.asarray(s_a.pos), np.asarray(s_b.pos))
 
 
 def test_frame_fn_chains_with_donation(built):
@@ -93,7 +152,7 @@ def test_frame_fn_chains_with_donation(built):
     s = jax.tree.map(jnp.array, built.initial_state)
     t0 = float(s.time)
     for _ in range(3):
-        s, img = ffn(s, inp, view, proj, cam_pos)
+        s, img, _ev = ffn(s, inp, view, proj, cam_pos)
     assert float(s.time) == pytest.approx(
         t0 + 3 * float(built.static.fixed_dt), rel=1e-5)
     assert np.asarray(img).shape == (H, W, 4)

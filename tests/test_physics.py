@@ -316,6 +316,53 @@ def test_rotated_tower_stable():
     assert np.abs(xz).max() < 0.35, xz
 
 
+def test_warm_start_cache_populated_and_matched():
+    """Persistent contact cache: a resting box caches its ground-corner
+    impulses with stable feature ids, and the next step warm-starts from
+    them (features are bare ground-slot ids 0..7)."""
+    state, static = build_world(
+        [{"pos": (0, 0.495, 0), "size": (0.5, 0.5, 0.5)}]
+    )
+    state, _ = run_steps(state, static, 50)
+    feat = np.asarray(state.contact_feat[0])
+    imp = np.asarray(state.contact_imp[0])
+    live = feat >= 0
+    assert live.sum() == 4  # four ground corners
+    assert set(feat[live]) <= set(range(8))  # ground feature ids
+    # accumulated normal impulses carry the weight: under mass splitting
+    # (deltas divided by the contact count) each corner lambda converges to
+    # the full m*g*dt, not a quarter of it
+    dt = float(static.fixed_dt)
+    np.testing.assert_allclose(imp[live, 0], 9.81 * dt, rtol=0.2)
+    # features persist step over step (same ids, impulses stay warm)
+    state2, _ = run_steps(state, static, 1)
+    feat2 = np.asarray(state2.contact_feat[0])
+    assert set(feat2[feat2 >= 0]) == set(feat[live])
+
+
+def test_warm_start_tall_rotated_tower_5000_steps():
+    """20-box rotated tower stable for 5000 steps with bounded drift: the
+    round-3 quality bar for persistent manifolds + warm starting (Bullet
+    holds this via its persistent face-clipped manifolds,
+    PhysicsSystem.cpp:124-128)."""
+    bodies = []
+    for i in range(20):
+        bodies.append({
+            "pos": (0, 0.5 + 1.005 * i, 0),
+            "size": (0.5, 0.5, 0.5),
+            "euler": (0, 0.35 * (i % 2), 0),
+            "friction": 0.8,
+        })
+    state, static = build_world(bodies, capacity=24)
+    state, _ = run_steps(state, static, 5000)
+    ys = np.sort(np.asarray(state.pos[:20, 1]))
+    np.testing.assert_allclose(ys, 0.5 + 1.0 * np.arange(20), atol=0.3)
+    xz = np.asarray(state.pos[:20, [0, 2]])
+    assert np.abs(xz).max() < 0.4, xz
+    # settled: essentially no residual motion anywhere in the tower
+    assert np.abs(np.asarray(state.lin_vel[:20])).max() < 0.05
+
+
 def test_edge_edge_cross_contact():
     """Two boxes meeting edge-on-edge (45-degree yaw offset, touching at a
     single cross-axis point): the contact point lies at the crossing, not
