@@ -18,7 +18,9 @@ import jax.numpy as jnp
 from banggameengine_tpu import math3d
 from banggameengine_tpu.render import raster as rz
 from banggameengine_tpu.render.cull import entity_frustum_mask
-from banggameengine_tpu.render.shading import LightParams, shade_visibility
+from banggameengine_tpu.render.shading import (
+    LightParams, shade_visibility, shade_visibility_tiled,
+)
 
 Array = jax.Array
 
@@ -36,6 +38,7 @@ def render_frame(
     depth_only: bool = False,
     return_depth: bool = False,
     wireframe: bool = False,
+    shade_mode: str = "tiled",
 ):
     """Render one shaded frame (or depth buffer).
 
@@ -60,15 +63,40 @@ def render_frame(
         rs.v_pos, rs.v_entity, world_mats, view, proj
     )
 
-    vis, _overflow = rz.rasterize(
-        clip, tri_valid, width, height, bin_capacity=bin_capacity
-    )
+    tiled = None
+    if depth_only or shade_mode != "tiled":
+        vis, _overflow = rz.rasterize(
+            clip, tri_valid, width, height, bin_capacity=bin_capacity
+        )
+    else:
+        vis, _overflow, tiled = rz.rasterize(
+            clip, tri_valid, width, height, bin_capacity=bin_capacity,
+            return_tiled=True,
+        )
     if depth_only:
         return vis.depth
 
     normal_mats = math3d.normal_matrix(world_mats)
     world_nrm = rz.transform_normals(rs.v_nrm, rs.v_entity, normal_mats)
     inv_w = 1.0 / jnp.where(jnp.abs(clip[:, 3]) > 1e-9, clip[:, 3], 1e-9)
+
+    if tiled is not None:
+        frame = shade_visibility_tiled(
+            tiled, width, height,
+            world_pos, world_nrm, rs.v_uv, inv_w,
+            rs.tri_material,
+            rs.mat_base_tint, rs.mat_uv_scale, rs.mat_spec_params,
+            rs.mat_spec_color, rs.mat_tex,
+            rs.textures, rs.tex_size,
+            camera_pos, light, view, proj,
+            shade_slots=rz.K_GLOBAL + 48,  # == the light raster list
+            wireframe=wireframe,
+            textures_quad=getattr(rs, "textures_quad", None),
+            textures_quad_t=getattr(rs, "textures_quad_t", None),
+        )
+        if return_depth:
+            return frame, vis.depth
+        return frame
 
     # materialize the visibility planes ONCE before deferred shading —
     # their untile transposes would otherwise be re-fused (recomputed)

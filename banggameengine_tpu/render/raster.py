@@ -64,6 +64,19 @@ class VisibilityBuffer(NamedTuple):
         return jnp.stack([self.b1, self.b2], axis=-1)
 
 
+class TiledVisibility(NamedTuple):
+    """Tile-major visibility planes + per-tile triangle lists, the input
+    the deferred shader's per-tile one-hot resolve wants (avoids the big
+    global per-pixel attribute gather).  ``slot`` indexes each pixel's
+    winning triangle within this tile's ``ids`` row (-1 = background)."""
+
+    depth: Array    # f32[tiles, TH, TW]
+    slot: Array     # i32[tiles, TH, TW] index into ids[tile], -1 = bg
+    b1: Array       # f32[tiles, TH, TW]
+    b2: Array       # f32[tiles, TH, TW]
+    ids: Array      # i32[tiles, K] sub-triangle ids per tile (-1 padded)
+
+
 def transform_vertices(v_pos, v_entity, world_mats, view, proj):
     """Object-space vertices -> (world_pos [V,3], clip [V,4]).
 
@@ -293,8 +306,8 @@ def _raster_tile(tile_x0, tile_y0, g_x, g_y, g_z, g_oid, g_cb, g_ok,
     ch = lambda a: a.reshape((n_chunks, chunk) + a.shape[1:])
 
     def chunk_body(carry, data):
-        zbuf, tid, b1b, b2b = carry
-        x, y, zz, oid, cb, okc = data                 # [C,...]
+        zbuf, tid, b1b, b2b, slotb = carry
+        chunk_off, x, y, zz, oid, cb, okc = data      # [C,...]
         x0, x1, x2 = x[:, 0, None, None], x[:, 1, None, None], x[:, 2, None, None]
         y0, y1, y2 = y[:, 0, None, None], y[:, 1, None, None], y[:, 2, None, None]
         pxb = px[None]                                # [1,TH,TW]
@@ -339,27 +352,32 @@ def _raster_tile(tile_x0, tile_y0, g_x, g_y, g_z, g_oid, g_cb, g_ok,
         tid = jnp.where(better, id_best, tid)
         b1b = jnp.where(better, b1_best, b1b)
         b2b = jnp.where(better, b2_best, b2b)
-        return (zbuf, tid, b1b, b2b), None
+        slotb = jnp.where(better, chunk_off + best, slotb)
+        return (zbuf, tid, b1b, b2b, slotb), None
 
     init = (
         jnp.full((TILE_H, TILE_W), jnp.inf, jnp.float32),
         jnp.full((TILE_H, TILE_W), -1, jnp.int32),
         jnp.zeros((TILE_H, TILE_W), jnp.float32),
         jnp.zeros((TILE_H, TILE_W), jnp.float32),
+        jnp.full((TILE_H, TILE_W), -1, jnp.int32),
     )
-    data = (ch(g_x), ch(g_y), ch(g_z), ch(g_oid), ch(g_cb), ch(g_ok))
-    (zbuf, tid, b1b, b2b), _ = jax.lax.scan(chunk_body, init, data)
+    data = (jnp.arange(n_chunks, dtype=jnp.int32) * chunk,
+            ch(g_x), ch(g_y), ch(g_z), ch(g_oid), ch(g_cb), ch(g_ok))
+    (zbuf, tid, b1b, b2b, slotb), _ = jax.lax.scan(chunk_body, init, data)
     zbuf = jnp.where(jnp.isfinite(zbuf), zbuf, 1.0)
-    return zbuf, tid, b1b, b2b
+    return zbuf, tid, b1b, b2b, slotb
 
 
 def rasterize(clip, tri_valid, width: int, height: int,
               bin_capacity: int = 2048, chunk: int = 8,
               light_capacity: int = 48, heavy_tiles: int = 64,
-              backend: str = "auto",
-              ) -> tuple[VisibilityBuffer, Array]:
+              backend: str = "auto", return_tiled: bool = False,
+              ):
     """Full visibility pass.  width/height are padded up to tile multiples
-    internally; outputs are cropped back.  Returns (vis, bin_overflow).
+    internally; outputs are cropped back.  Returns (vis, bin_overflow), or
+    (vis, overflow, tiled: TiledVisibility) with ``return_tiled=True`` (the
+    deferred shader's per-tile one-hot resolve input).
 
     **Light/heavy split**: triangle density per tile is highly skewed (a
     detailed mesh concentrates thousands of triangles in a few tiles while
@@ -449,7 +467,7 @@ def rasterize(clip, tri_valid, width: int, height: int,
     # + first light_capacity locals
     kl = min(K_GLOBAL + light_capacity, ids.shape[1])
     all_tiles = jnp.arange(n_tiles, dtype=jnp.int32)
-    zb, tid, b1, b2 = raster(gathered(ids[:, :kl]), all_tiles, tx, ty)
+    zb, tid, b1, b2, slot = raster(gathered(ids[:, :kl]), all_tiles, tx, ty)
 
     # heavy pass: fullest tiles re-rastered at full capacity.  Behind a
     # lax.cond so frames where no tile exceeds the light capacity (most
@@ -466,8 +484,8 @@ def rasterize(clip, tri_valid, width: int, height: int,
         heavy_sel = jax.lax.top_k(local_counts, h)[1]      # tile indices
 
         def heavy_branch(bufs):
-            zb, tid, b1, b2 = bufs
-            zb_h, tid_h, b1_h, b2_h = raster(
+            zb, tid, b1, b2, slot = bufs
+            zb_h, tid_h, b1_h, b2_h, slot_h = raster(
                 gathered(ids[heavy_sel]), heavy_sel.astype(jnp.int32),
                 tx[heavy_sel], ty[heavy_sel]
             )
@@ -477,12 +495,14 @@ def rasterize(clip, tri_valid, width: int, height: int,
             tid = tid.at[heavy_sel].set(jnp.where(needs, tid_h, tid[heavy_sel]))
             b1 = b1.at[heavy_sel].set(jnp.where(needs, b1_h, b1[heavy_sel]))
             b2 = b2.at[heavy_sel].set(jnp.where(needs, b2_h, b2[heavy_sel]))
-            return zb, tid, b1, b2
+            slot = slot.at[heavy_sel].set(
+                jnp.where(needs, slot_h, slot[heavy_sel]))
+            return zb, tid, b1, b2, slot
 
-        zb, tid, b1, b2 = jax.lax.cond(
+        zb, tid, b1, b2, slot = jax.lax.cond(
             jnp.any(local_counts > light_local_cap), heavy_branch,
             lambda bufs: bufs,
-            (zb, tid, b1, b2),
+            (zb, tid, b1, b2, slot),
         )
         # light-capacity overflow not covered by the heavy pass
         over_light = jnp.maximum(local_counts - light_local_cap, 0).sum() \
@@ -500,4 +520,7 @@ def rasterize(clip, tri_valid, width: int, height: int,
         b1=untile(b1),
         b2=untile(b2),
     )
+    if return_tiled:
+        tiled = TiledVisibility(depth=zb, slot=slot, b1=b1, b2=b2, ids=ids)
+        return vis, overflow, tiled
     return vis, overflow

@@ -25,8 +25,8 @@ Array = jax.Array
 
 
 def _tile_kernel(tidx_ref, x_ref, y_ref, z_ref, oid_ref, cb1_ref, cb2_ref,
-                 ok_ref, zb_ref, tid_ref, b1_ref, b2_ref, *, chunk: int,
-                 tiles_x: int):
+                 ok_ref, zb_ref, tid_ref, b1_ref, b2_ref, slot_ref, *,
+                 chunk: int, tiles_x: int):
     """Raster one tile.  Refs hold this tile's triangle list ([K,3] coords,
     [K] ids/valid, [K,3] original-bary columns) and the [TILE_H, TILE_W]
     outputs.  ``tidx_ref`` carries the SCREEN tile index (the grid may cover
@@ -46,6 +46,7 @@ def _tile_kernel(tidx_ref, x_ref, y_ref, z_ref, oid_ref, cb1_ref, cb2_ref,
     tid_ref[0] = jnp.full((TILE_H, TILE_W), -1, jnp.int32)
     b1_ref[0] = jnp.zeros((TILE_H, TILE_W), jnp.float32)
     b2_ref[0] = jnp.zeros((TILE_H, TILE_W), jnp.float32)
+    slot_ref[0] = jnp.full((TILE_H, TILE_W), -1, jnp.int32)
 
     def chunk_body(ci, _):
         # chunk slicing stays on the SUBLANE dim (multiple-of-8 provable);
@@ -63,6 +64,7 @@ def _tile_kernel(tidx_ref, x_ref, y_ref, z_ref, oid_ref, cb1_ref, cb2_ref,
         tid = tid_ref[0]
         b1b = b1_ref[0]
         b2b = b2_ref[0]
+        slotb = slot_ref[0]
         for c in range(chunk):                      # static unroll
             x0, x1, x2 = x[c, 0], x[c, 1], x[c, 2]
             y0, y1, y2 = y[c, 0], y[c, 1], y[c, 2]
@@ -88,10 +90,12 @@ def _tile_kernel(tidx_ref, x_ref, y_ref, z_ref, oid_ref, cb1_ref, cb2_ref,
             tid = jnp.where(better, jnp.full_like(tid, oid[c]), tid)
             b1b = jnp.where(better, ob1, b1b)
             b2b = jnp.where(better, ob2, b2b)
+            slotb = jnp.where(better, base + c, slotb)
         zb_ref[0] = zbuf
         tid_ref[0] = tid
         b1_ref[0] = b1b
         b2_ref[0] = b2b
+        slot_ref[0] = slotb
         return 0
 
     jax.lax.fori_loop(0, k // chunk, chunk_body, 0)
@@ -111,8 +115,9 @@ def raster_tiles_pallas(
     chunk: int = 8,
     interpret: bool = False,
 ):
-    """Run the tile kernel over all listed tiles.  Returns (zb, tid, b1, b2)
-    each [tiles, TILE_H, TILE_W]."""
+    """Run the tile kernel over all listed tiles.  Returns (zb, tid, b1,
+    b2, slot) each [tiles, TILE_H, TILE_W] (slot = winning index in the
+    tile's triangle list, -1 background)."""
     n_tiles, k = g_ok.shape
 
     def row(i, *_prefetch):
@@ -138,17 +143,19 @@ def raster_tiles_pallas(
         pl.BlockSpec((1, TILE_H, TILE_W), row, memory_space=pltpu.VMEM),
         pl.BlockSpec((1, TILE_H, TILE_W), row, memory_space=pltpu.VMEM),
         pl.BlockSpec((1, TILE_H, TILE_W), row, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, TILE_H, TILE_W), row, memory_space=pltpu.VMEM),
     ]
     out_shape = [
         jax.ShapeDtypeStruct((n_tiles, TILE_H, TILE_W), jnp.float32),
         jax.ShapeDtypeStruct((n_tiles, TILE_H, TILE_W), jnp.int32),
         jax.ShapeDtypeStruct((n_tiles, TILE_H, TILE_W), jnp.float32),
         jax.ShapeDtypeStruct((n_tiles, TILE_H, TILE_W), jnp.float32),
+        jax.ShapeDtypeStruct((n_tiles, TILE_H, TILE_W), jnp.int32),
     ]
 
-    def kernel(tidx, x, y, z, oid, cb1, cb2, ok, zb, tid, b1, b2):
+    def kernel(tidx, x, y, z, oid, cb1, cb2, ok, zb, tid, b1, b2, slot):
         _tile_kernel(tidx, x, y, z, oid, cb1, cb2, ok, zb, tid, b1, b2,
-                     chunk=chunk, tiles_x=tiles_x)
+                     slot, chunk=chunk, tiles_x=tiles_x)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,          # tile_indices
@@ -156,11 +163,11 @@ def raster_tiles_pallas(
         in_specs=in_specs,
         out_specs=out_specs,
     )
-    zb, tid, b1, b2 = pl.pallas_call(
+    zb, tid, b1, b2, slot = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=out_shape,
         interpret=interpret,
     )(tile_indices.astype(jnp.int32),
       g_x, g_y, g_z, g_oid[:, :, None], g_cb1, g_cb2, g_ok[:, :, None])
-    return zb, tid, b1, b2
+    return zb, tid, b1, b2, slot

@@ -18,6 +18,19 @@ lightColor white, shininess 32, specIntensity 0.35 (``Renderer.h:120-122``).
 Because shading is deferred, each of the H*W pixels is shaded exactly once —
 the per-pixel material math and texture gathers never run on occluded
 fragments.
+
+Two per-pixel attribute fetch strategies exist:
+
+- :func:`shade_visibility` (flat): one channel-major ``take`` of the
+  [C, T] triangle super-row table by the per-pixel triangle id — one
+  row-gather per pixel.
+- :func:`shade_visibility_tiled` (default in the pipeline): a per-tile
+  one-hot MXU resolve.  Each tile's visible triangles are the <= KL
+  entries of its binned id list, so the fetch is ``onehot[px, KL] @
+  table[KL, C]`` — dense matmuls instead of 2M row-gathers.  Exact: the
+  one-hot has a single 1 per covered pixel, so the contraction selects
+  whole f32 rows bit-identically.  The entire shade stays in tile-major
+  component form ([tiles, px] planes); only the final u8 image untiles.
 """
 
 from __future__ import annotations
@@ -128,62 +141,20 @@ def sample_texture_bilinear(textures: Array, tex_size: Array, tex_id: Array,
     return top + (bot - top) * ty[..., None]
 
 
-def shade_visibility(
-    vis_tri_id: Array,    # i32[H,W]
-    vis_b1: Array,        # f32[H,W] barycentric of vertex 1
-    vis_b2: Array,        # f32[H,W] barycentric of vertex 2
-    # per-vertex attributes (V = 3*T)
-    world_pos: Array,     # f32[V,3]
-    world_nrm: Array,     # f32[V,3]
-    v_uv: Array,          # f32[V,2]
-    inv_w: Array,         # f32[V]
-    tri_material: Array,  # i32[T]
-    # material tables
-    mat_base_tint: Array, mat_uv_scale: Array, mat_spec_params: Array,
-    mat_spec_color: Array, mat_tex: Array,
-    textures: Array, tex_size: Array,
-    camera_pos: Array,    # f32[3]
-    light: LightParams,
-    wireframe: bool = False,
-    textures_quad: Array | None = None,
-    textures_quad_t: Array | None = None,
-    vis_depth: Array | None = None,   # f32[H,W] NDC z (enables wp
-    view: Array | None = None,        # reconstruction from depth — drops
-    proj: Array | None = None,        # 9 interpolated channels)
-) -> Array:
-    """Shade every pixel of the visibility buffer.  Returns u8[H,W,4].
+def _pack_tri_rows(world_pos, world_nrm, v_uv, inv_w, tri_material,
+                   mat_base_tint, mat_uv_scale, mat_spec_color, mat_tex,
+                   tex_size, reconstruct_wp: bool):
+    """Per-triangle channel-major super-row table [C, T] + layout indices.
 
-    The math runs in **component form**: every quantity is a flat f32[P]
-    vector (P = H*W pixels).  The per-pixel fetch is exactly TWO
-    channel-major ``take(..., axis=1)`` gathers — one [39, P] carrying all
-    three corners' attributes AND the triangle's resolved material/texture
-    parameters (1D gathers cost ~10 ns/element on TPU, so folding material
-    id / uv scale / texture size into the per-triangle row eliminates
-    three of them), and one [16, P] texel-quad for the bilinear taps.
-    Channel-major matters: the gathers land channel-PLANAR, so every
-    consumer reads a contiguous [P] row instead of slicing a lane-padded
-    [P, C] array (which re-reads 128/C times the data per slice).  An
-    optimization barrier pins each gather to run once — XLA otherwise
-    fuses gathers into every consumer kernel, re-gathering per use.
-
-    ``wireframe=True`` keeps only pixels near triangle edges (barycentric
-    proximity), the F1 wireframe toggle (``Renderer.cpp:766-783``
-    BGFX_DEBUG_WIREFRAME equivalent)."""
-    h, w = vis_tri_id.shape
-    p = h * w
-    tid_hw = jnp.maximum(vis_tri_id, 0)
-    tid = tid_hw.reshape(p)
-    b1 = vis_b1.reshape(p)
-    b2 = vis_b2.reshape(p)
-    b0 = 1.0 - b1 - b2
-
-    # wp reconstruction from the depth plane (exact for planar triangles:
-    # NDC z is affine in screen space) drops 9 interpolated channels; uv
-    # is pre-scaled to TEXEL units per corner (bakes the material uv scale
-    # AND texture size into the T-sized table), dropping 2 more.
-    reconstruct_wp = (vis_depth is not None and view is not None
-                      and proj is not None)
-
+    With ``reconstruct_wp`` (world position rebuilt from the depth plane —
+    exact for planar triangles since NDC z is affine in screen space), C=28:
+      0..17  corner attrs (3 corners x [nrm.xyz, u_tex, v_tex, inv_w])
+      18..21 material base tint rgba   22..24 material spec color
+      25     texture id                26..27 texture (w, h)
+    Otherwise C=37 with per-corner world positions prepended.  uv is
+    pre-scaled to TEXEL units per corner (bakes material uv scale AND
+    texture size into the T-sized table).
+    """
     mat_twh = tex_size[mat_tex].astype(jnp.float32)    # [M, 2]
     t = tri_material.shape[0]
     uv_texel = (
@@ -192,35 +163,45 @@ def shade_visibility(
     ).reshape(t * 3, 2)                                # [V, 2] texel units
 
     if reconstruct_wp:
-        # per-triangle super-row, channel-major [28, T]:
-        #   0..17  corner attrs (3 corners x [nrm.xyz, u_tex, v_tex, inv_w])
-        #   18..21 material base tint rgba   22..24 material spec color
-        #   25     texture id                26..27 texture (w, h)
         packed = jnp.concatenate(
             [world_nrm, uv_texel, inv_w[:, None]], axis=-1
         )                                              # [V, 6]
         packed_tri = packed.reshape(-1, 18)            # [T, 18]
-        span, uvo = 6, 3
-        m_tint, m_spec, m_tex0, m_tw = 18, 22, 25, 26
+        layout = dict(span=6, uvo=3, m_tint=18, m_spec=22, m_tex0=25,
+                      m_tw=26)
     else:
-        # [37, T]: 0..26 corners x [wp.xyz, nrm.xyz, u_tex, v_tex, inv_w]
         packed = jnp.concatenate(
             [world_pos, world_nrm, uv_texel, inv_w[:, None]], axis=-1
         )                                              # [V, 9]
         packed_tri = packed.reshape(-1, 27)            # [T, 27]
-        span, uvo = 9, 6
-        m_tint, m_spec, m_tex0, m_tw = 27, 31, 34, 35
+        layout = dict(span=9, uvo=6, m_tint=27, m_spec=31, m_tex0=34,
+                      m_tw=35)
     mat_packed = jnp.concatenate(
         [mat_base_tint, mat_spec_color,
          mat_tex[:, None].astype(jnp.float32), mat_twh], axis=-1,
     )                                                  # [M, 10]
     tri_row_t = jnp.concatenate(
         [packed_tri, mat_packed[tri_material]], axis=-1).T  # [C, T]
+    return tri_row_t, layout
 
-    a = jax.lax.optimization_barrier(
-        jnp.take(tri_row_t, tid, axis=1))              # [C, P] ONE gather
 
-    iw0, iw1, iw2 = a[span - 1], a[2 * span - 1], a[3 * span - 1]
+def _shade_core(get, b1, b2, pxc, pyc, ndc_z, background, layout,
+                reconstruct_wp, width, height, view, proj,
+                textures, textures_quad, textures_quad_t,
+                camera_pos, light, wireframe):
+    """Shared component-form shading math.
+
+    ``get(c)`` returns per-pixel channel ``c`` of the triangle super-row in
+    an arbitrary (but consistent) pixel shape; every other input matches
+    that shape.  Returns (r, g, b, a) f32 channels in [0, 1]-ish (clamped
+    by the caller's u8 conversion).
+    """
+    span, uvo = layout["span"], layout["uvo"]
+    m_tint, m_spec = layout["m_tint"], layout["m_spec"]
+    m_tex0, m_tw = layout["m_tex0"], layout["m_tw"]
+
+    b0 = 1.0 - b1 - b2
+    iw0, iw1, iw2 = get(span - 1), get(2 * span - 1), get(3 * span - 1)
     w0 = b0 * iw0
     w1 = b1 * iw1
     w2 = b2 * iw2
@@ -229,18 +210,14 @@ def shade_visibility(
 
     def interp(c):
         """Perspective-correct interpolation of per-corner channel c."""
-        return (a[c] * w0 + a[c + span] * w1 + a[c + 2 * span] * w2) * inv_den
+        return (get(c) * w0 + get(c + span) * w1 + get(c + 2 * span) * w2) \
+            * inv_den
 
     if reconstruct_wp:
         # unproject (ndc_x, ndc_y, ndc_z, 1) through inv(proj @ view)
         m = jnp.linalg.inv(jnp.matmul(proj, view))
-        px = (jax.lax.broadcasted_iota(jnp.float32, (h, w), 1).reshape(p)
-              + 0.5)
-        py = (jax.lax.broadcasted_iota(jnp.float32, (h, w), 0).reshape(p)
-              + 0.5)
-        ndc_x = px * (2.0 / w) - 1.0
-        ndc_y = 1.0 - py * (2.0 / h)
-        ndc_z = vis_depth.reshape(p)
+        ndc_x = pxc * (2.0 / width) - 1.0
+        ndc_y = 1.0 - pyc * (2.0 / height)
         hx = m[0, 0] * ndc_x + m[0, 1] * ndc_y + m[0, 2] * ndc_z + m[0, 3]
         hy = m[1, 0] * ndc_x + m[1, 1] * ndc_y + m[1, 2] * ndc_z + m[1, 3]
         hz = m[2, 0] * ndc_x + m[2, 1] * ndc_y + m[2, 2] * ndc_z + m[2, 3]
@@ -254,11 +231,11 @@ def shade_visibility(
     u = interp(uvo)
     v = interp(uvo + 1)
 
-    tint_r, tint_g, tint_b, tint_a = (a[m_tint], a[m_tint + 1],
-                                      a[m_tint + 2], a[m_tint + 3])
-    spec_r, spec_g, spec_b = a[m_spec], a[m_spec + 1], a[m_spec + 2]
-    tex_id = a[m_tex0].astype(jnp.int32)
-    tex_w, tex_h = a[m_tw], a[m_tw + 1]
+    tint_r, tint_g, tint_b, tint_a = (get(m_tint), get(m_tint + 1),
+                                      get(m_tint + 2), get(m_tint + 3))
+    spec_r, spec_g, spec_b = get(m_spec), get(m_spec + 1), get(m_spec + 2)
+    tex_id = get(m_tex0).astype(jnp.int32)
+    tex_w, tex_h = get(m_tw), get(m_tw + 1)
 
     tex_r, tex_g, tex_b, tex_a = _sample_bilinear_planar(
         textures, textures_quad, textures_quad_t, tex_id, tex_w, tex_h, u, v)
@@ -295,7 +272,6 @@ def shade_visibility(
     rgb_b = tex_b * tint_b * lit_b + spec_b * s
     alpha = tex_a * tint_a
 
-    background = vis_tri_id.reshape(p) < 0
     clear = CLEAR_COLOR
     if wireframe:
         min_bary = jnp.minimum(jnp.minimum(b0, b1), b2)
@@ -307,26 +283,197 @@ def shade_visibility(
     rgb_g = jnp.where(background, clear[1], rgb_g)
     rgb_b = jnp.where(background, clear[2], rgb_b)
     alpha = jnp.where(background, 1.0, alpha)
+    return rgb_r, rgb_g, rgb_b, alpha
 
-    def to_u8(x):
-        return (jnp.clip(x, 0.0, 1.0) * 255.0 + 0.5).astype(jnp.uint8)
+
+def _to_u8(x):
+    return (jnp.clip(x, 0.0, 1.0) * 255.0 + 0.5).astype(jnp.uint8)
+
+
+def shade_visibility(
+    vis_tri_id: Array,    # i32[H,W]
+    vis_b1: Array,        # f32[H,W] barycentric of vertex 1
+    vis_b2: Array,        # f32[H,W] barycentric of vertex 2
+    # per-vertex attributes (V = 3*T)
+    world_pos: Array,     # f32[V,3]
+    world_nrm: Array,     # f32[V,3]
+    v_uv: Array,          # f32[V,2]
+    inv_w: Array,         # f32[V]
+    tri_material: Array,  # i32[T]
+    # material tables
+    mat_base_tint: Array, mat_uv_scale: Array, mat_spec_params: Array,
+    mat_spec_color: Array, mat_tex: Array,
+    textures: Array, tex_size: Array,
+    camera_pos: Array,    # f32[3]
+    light: LightParams,
+    wireframe: bool = False,
+    textures_quad: Array | None = None,
+    textures_quad_t: Array | None = None,
+    vis_depth: Array | None = None,   # f32[H,W] NDC z (enables wp
+    view: Array | None = None,        # reconstruction from depth — drops
+    proj: Array | None = None,        # 9 interpolated channels)
+) -> Array:
+    """Shade every pixel of the visibility buffer.  Returns u8[H,W,4].
+
+    The math runs in **component form**: every quantity is a flat f32[P]
+    vector (P = H*W pixels).  The per-pixel fetch is exactly TWO
+    channel-major ``take(..., axis=1)`` gathers — one [C, P] carrying all
+    three corners' attributes AND the triangle's resolved material/texture
+    parameters, and one [16, P] texel-quad for the bilinear taps.
+    Channel-major matters: the gathers land channel-PLANAR, so every
+    consumer reads a contiguous [P] row instead of slicing a lane-padded
+    [P, C] array (which re-reads 128/C times the data per slice).  An
+    optimization barrier pins each gather to run once — XLA otherwise
+    fuses gathers into every consumer kernel, re-gathering per use.
+
+    ``wireframe=True`` keeps only pixels near triangle edges (barycentric
+    proximity), the F1 wireframe toggle (``Renderer.cpp:766-783``
+    BGFX_DEBUG_WIREFRAME equivalent)."""
+    h, w = vis_tri_id.shape
+    p = h * w
+    tid = jnp.maximum(vis_tri_id, 0).reshape(p)
+    b1 = vis_b1.reshape(p)
+    b2 = vis_b2.reshape(p)
+
+    reconstruct_wp = (vis_depth is not None and view is not None
+                      and proj is not None)
+    tri_row_t, layout = _pack_tri_rows(
+        world_pos, world_nrm, v_uv, inv_w, tri_material,
+        mat_base_tint, mat_uv_scale, mat_spec_color, mat_tex, tex_size,
+        reconstruct_wp)
+
+    a = jax.lax.optimization_barrier(
+        jnp.take(tri_row_t, tid, axis=1))              # [C, P] ONE gather
+
+    pxc = jax.lax.broadcasted_iota(jnp.float32, (h, w), 1).reshape(p) + 0.5
+    pyc = jax.lax.broadcasted_iota(jnp.float32, (h, w), 0).reshape(p) + 0.5
+    ndc_z = vis_depth.reshape(p) if reconstruct_wp else None
+    background = vis_tri_id.reshape(p) < 0
+
+    rgb_r, rgb_g, rgb_b, alpha = _shade_core(
+        lambda c: a[c], b1, b2, pxc, pyc, ndc_z, background, layout,
+        reconstruct_wp, w, h, view, proj,
+        textures, textures_quad, textures_quad_t,
+        camera_pos, light, wireframe)
 
     # single interleave at the very end: [4, P] -> [H, W, 4]
-    out = jnp.stack([to_u8(rgb_r), to_u8(rgb_g), to_u8(rgb_b), to_u8(alpha)])
+    out = jnp.stack([_to_u8(rgb_r), _to_u8(rgb_g), _to_u8(rgb_b),
+                     _to_u8(alpha)])
     return out.T.reshape(h, w, 4)
+
+
+def shade_visibility_tiled(
+    tiled,                # raster.TiledVisibility
+    width: int, height: int,
+    # per-vertex attributes (V = 3*T)
+    world_pos: Array, world_nrm: Array, v_uv: Array, inv_w: Array,
+    tri_material: Array,
+    # material tables
+    mat_base_tint: Array, mat_uv_scale: Array, mat_spec_params: Array,
+    mat_spec_color: Array, mat_tex: Array,
+    textures: Array, tex_size: Array,
+    camera_pos: Array, light: LightParams,
+    view: Array, proj: Array,
+    shade_slots: int = 64,
+    wireframe: bool = False,
+    textures_quad: Array | None = None,
+    textures_quad_t: Array | None = None,
+) -> Array:
+    """Tile-major deferred shade with a per-tile one-hot MXU resolve.
+
+    The per-pixel attribute fetch is ``onehot[px, KL] @ table[KL, C]`` per
+    tile (KL = shade_slots covering the light raster list); the contraction
+    emits channels PLANAR per tile ([tiles, C, px]), the whole shading math
+    runs on [tiles, px] planes, and only the final u8 RGBA untiles — no
+    framebuffer-sized f32 transposes anywhere.  Winning slots beyond KL
+    (heavy-pass tiles) fall back to the row gather under a runtime-skipped
+    ``lax.cond``.  Bit-exact vs :func:`shade_visibility` (the one-hot
+    selects whole f32 rows).  Returns u8[H,W,4]."""
+    from banggameengine_tpu.render.raster import TILE_H, TILE_W
+
+    n_tiles, th, tw = tiled.slot.shape
+    px_per_tile = th * tw
+    tiles_x = -(-width // TILE_W)
+    tiles_y = n_tiles // tiles_x
+    rh, rw = tiles_y * th, tiles_x * tw
+
+    tri_row_t, layout = _pack_tri_rows(
+        world_pos, world_nrm, v_uv, inv_w, tri_material,
+        mat_base_tint, mat_uv_scale, mat_spec_color, mat_tex, tex_size,
+        reconstruct_wp=True)
+
+    kl = min(shade_slots, tiled.ids.shape[1])
+    ids_kl = tiled.ids[:, :kl]
+    # sub-triangle id -> original triangle row (near-clip emits 2 subs)
+    tables = tri_row_t.T[jnp.maximum(ids_kl, 0) // 2]      # [tiles, KL, C]
+
+    slot_p = tiled.slot.reshape(n_tiles, px_per_tile)
+    oh = (slot_p[..., None] == jnp.arange(kl)[None, None, :]).astype(
+        jnp.float32)                                       # [tiles, px, KL]
+    # batch t, contract KL: [t, C, KL] x [t, px, KL] -> [t, C, px]
+    resolved = jax.lax.dot_general(
+        jnp.swapaxes(tables, 1, 2), oh,
+        dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32)
+    resolved = jax.lax.optimization_barrier(resolved)
+
+    # heavy-pass winners beyond the resolve table: row-gather fallback,
+    # runtime-skipped when no pixel needs it
+    need_fb = slot_p >= kl
+
+    def fallback(resolved):
+        tid_t = jnp.take_along_axis(
+            tiled.ids, jnp.maximum(slot_p, 0), axis=1) // 2
+        rows = jnp.take(tri_row_t, jnp.where(need_fb, tid_t, 0),
+                        axis=1)                            # [C, t, px]
+        return jnp.where(need_fb[:, None, :], jnp.swapaxes(rows, 0, 1),
+                         resolved)
+
+    resolved = jax.lax.cond(
+        jnp.any(need_fb), fallback, lambda r: r, resolved)
+
+    # tile-major pixel coordinates (+0.5 centers)
+    tile_ids = jnp.arange(n_tiles, dtype=jnp.int32)
+    ox = ((tile_ids % tiles_x) * TILE_W).astype(jnp.float32)
+    oy = ((tile_ids // tiles_x) * TILE_H).astype(jnp.float32)
+    xi = (jax.lax.broadcasted_iota(jnp.int32, (th, tw), 1)
+          .reshape(px_per_tile).astype(jnp.float32))
+    yi = (jax.lax.broadcasted_iota(jnp.int32, (th, tw), 0)
+          .reshape(px_per_tile).astype(jnp.float32))
+    pxc = ox[:, None] + xi[None, :] + 0.5                  # [tiles, px]
+    pyc = oy[:, None] + yi[None, :] + 0.5
+
+    b1 = tiled.b1.reshape(n_tiles, px_per_tile)
+    b2 = tiled.b2.reshape(n_tiles, px_per_tile)
+    ndc_z = tiled.depth.reshape(n_tiles, px_per_tile)
+    background = slot_p < 0
+
+    rgb_r, rgb_g, rgb_b, alpha = _shade_core(
+        lambda c: resolved[:, c, :], b1, b2, pxc, pyc, ndc_z, background,
+        layout, True, width, height, view, proj,
+        textures, textures_quad, textures_quad_t,
+        camera_pos, light, wireframe)
+
+    # final interleave + untile on u8 only
+    out = jnp.stack([_to_u8(rgb_r), _to_u8(rgb_g), _to_u8(rgb_b),
+                     _to_u8(alpha)], axis=-1)              # [tiles, px, 4]
+    out = (out.reshape(tiles_y, tiles_x, th, tw, 4)
+           .transpose(0, 2, 1, 3, 4).reshape(rh, rw, 4))
+    return out[:height, :width]
 
 
 def _sample_bilinear_planar(textures, textures_quad, textures_quad_t,
                             tex_id, tw, th, u, v):
     """Bilinear, wrap-repeat sampling in component form.
 
-    tex_id i32[P], tw/th f32[P] (actual texture size, pre-resolved into the
-    per-triangle row), u/v f32[P] in TEXEL units (uv scale and texture size
-    are baked per corner at the T-sized table); returns four f32[P] channel
-    rows.  With the channel-major quad pack ``textures_quad_t``
-    (u8[16, T*S*S], each texel's wrap-correct 2x2 RGBA neighborhood, built
-    at scene load) the four bilinear taps arrive in ONE channel-planar
-    take; otherwise falls back to four row gathers.
+    tex_id i32[...], tw/th f32[...] (actual texture size, pre-resolved into
+    the per-triangle row), u/v f32[...] in TEXEL units (uv scale and
+    texture size are baked per corner at the T-sized table); returns four
+    f32 channel planes in the input pixel shape.  With the channel-major
+    quad pack ``textures_quad_t`` (u8[16, T*S*S], each texel's wrap-correct
+    2x2 RGBA neighborhood, built at scene load) the four bilinear taps
+    arrive in ONE channel-planar take; otherwise falls back to four row
+    gathers.
     """
     fx = u - 0.5
     fy = v - 0.5
@@ -344,7 +491,7 @@ def _sample_bilinear_planar(textures, textures_quad, textures_quad_t,
         y0i = wrap(y0, th)
         flat = (tex_id * s + y0i) * s + x0i
         q = jax.lax.optimization_barrier(
-            jnp.take(textures_quad_t, flat, axis=1))          # [16, P] u8
+            jnp.take(textures_quad_t, flat, axis=1))     # [16, ...] u8
 
         def channel(c):
             c00 = q[c].astype(jnp.float32)
@@ -362,12 +509,12 @@ def _sample_bilinear_planar(textures, textures_quad, textures_quad_t,
         x0i = wrap(x0, tw)
         y0i = wrap(y0, th)
         flat = (tex_id * s + y0i) * s + x0i
-        quad = textures_quad.reshape(t * s * s, 16)[flat]     # [P, 16]
+        quad = textures_quad.reshape(t * s * s, 16)[flat]     # [..., 16]
         q = quad.astype(jnp.float32) * (1.0 / 255.0)
 
         def channel(c):
-            top = q[:, c] + (q[:, c + 4] - q[:, c]) * tx
-            bot = q[:, c + 8] + (q[:, c + 12] - q[:, c + 8]) * tx
+            top = q[..., c] + (q[..., c + 4] - q[..., c]) * tx
+            bot = q[..., c + 8] + (q[..., c + 12] - q[..., c + 8]) * tx
             return top + (bot - top) * ty
 
         return channel(0), channel(1), channel(2), channel(3)
@@ -379,7 +526,7 @@ def _sample_bilinear_planar(textures, textures_quad, textures_quad_t,
 
     def fetch(yi, xi):
         return tex_flat[(tex_id * s + yi) * s + xi].astype(jnp.float32) \
-            * (1.0 / 255.0)                                    # [P, 4]
+            * (1.0 / 255.0)                                    # [..., 4]
 
     c00 = fetch(y0i, x0i)
     c01 = fetch(y0i, x1i)
@@ -387,8 +534,8 @@ def _sample_bilinear_planar(textures, textures_quad, textures_quad_t,
     c11 = fetch(y1i, x1i)
 
     def channel(c):
-        top = c00[:, c] + (c01[:, c] - c00[:, c]) * tx
-        bot = c10[:, c] + (c11[:, c] - c10[:, c]) * tx
+        top = c00[..., c] + (c01[..., c] - c00[..., c]) * tx
+        bot = c10[..., c] + (c11[..., c] - c10[..., c]) * tx
         return top + (bot - top) * ty
 
     return channel(0), channel(1), channel(2), channel(3)

@@ -217,6 +217,73 @@ class TestDemoRender:
         # lower half mostly ground (checker texture: not sky)
         assert non_sky[h - 10].mean() > 0.9
 
+    def test_tiled_resolve_matches_gather_shade(self, demo):
+        """The per-tile one-hot MXU resolve must be BIT-EXACT against the
+        global row-gather shade (the one-hot selects whole f32 rows)."""
+        cam = Camera()
+        state = demo.initial_state
+        w, h = 320, 180
+        args = (demo.render, state.world, cam.view_matrix(),
+                cam.proj_matrix(w / h), jnp.asarray(cam.position))
+        a = np.asarray(render_frame(*args, width=w, height=h,
+                                    shade_mode="tiled"))
+        b = np.asarray(render_frame(*args, width=w, height=h,
+                                    shade_mode="gather"))
+        np.testing.assert_array_equal(a, b)
+
+    def test_tiled_resolve_heavy_fallback(self, demo):
+        """Force tiny light capacity so heavy-pass winners exceed the
+        resolve table and take the gather fallback — still bit-exact."""
+        from banggameengine_tpu.render import raster as rz
+        from banggameengine_tpu.render.shading import shade_visibility
+        from banggameengine_tpu.render.cull import entity_frustum_mask
+        from banggameengine_tpu import math3d
+
+        cam = Camera()
+        state = demo.initial_state
+        w, h = 320, 180
+        rs = demo.render
+        # zoom onto CJ (spawns at (0,7,-5)) so the 2332-triangle character
+        # mesh concentrates many triangles into few tiles
+        view = math3d.mtx_look_at(jnp.asarray([0.0, 7.1, -6.0]),
+                                  jnp.asarray([0.0, 7.0, -5.0]))
+        proj = jnp.asarray(cam.proj_matrix(w / h))
+        vis_ent = entity_frustum_mask(
+            rs.ent_aabb_min, rs.ent_aabb_max, rs.ent_has_mesh,
+            state.world, view, proj)
+        tri_valid = rs.tri_valid & vis_ent[rs.v_entity[::3]]
+        _, clip = rz.transform_vertices(
+            rs.v_pos, rs.v_entity, state.world, view, proj)
+        vis, _, tiled = rz.rasterize(
+            clip, tri_valid, w, h, bin_capacity=2048, light_capacity=4,
+            return_tiled=True)
+        nm = math3d.normal_matrix(state.world)
+        world_nrm = rz.transform_normals(rs.v_nrm, rs.v_entity, nm)
+        inv_w = 1.0 / jnp.where(jnp.abs(clip[:, 3]) > 1e-9, clip[:, 3], 1e-9)
+        from banggameengine_tpu.render.shading import (
+            LightParams, shade_visibility, shade_visibility_tiled,
+        )
+
+        light = LightParams.default()
+        attr_args = (world_nrm, rs.v_uv, inv_w, rs.tri_material,
+                     rs.mat_base_tint, rs.mat_uv_scale, rs.mat_spec_params,
+                     rs.mat_spec_color, rs.mat_tex, rs.textures, rs.tex_size)
+        tq = getattr(rs, "textures_quad", None)
+        tqt = getattr(rs, "textures_quad_t", None)
+        # at least one pixel must actually exceed the tiny resolve table
+        kl = rz.K_GLOBAL + 4
+        assert int((np.asarray(tiled.slot) >= kl).sum()) > 0
+        a = np.asarray(shade_visibility_tiled(
+            tiled, w, h, None, *attr_args,
+            jnp.asarray(cam.position), light, view, proj,
+            shade_slots=kl, textures_quad=tq, textures_quad_t=tqt))
+        b = np.asarray(shade_visibility(
+            vis.tri_id, vis.b1, vis.b2, None, *attr_args,
+            jnp.asarray(cam.position), light,
+            textures_quad=tq, textures_quad_t=tqt,
+            vis_depth=vis.depth, view=view, proj=proj))
+        np.testing.assert_array_equal(a, b)
+
     def test_demo_depth_only(self, demo):
         cam = Camera()
         state = demo.initial_state
