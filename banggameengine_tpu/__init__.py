@@ -22,6 +22,12 @@ def _enable_compilation_cache() -> None:
     """
     if _os.environ.get("BANG_NO_COMP_CACHE"):
         return
+    if _os.environ.get("JAX_PLATFORMS", "").strip().lower() == "cpu":
+        # XLA:CPU AOT cache entries are machine-feature pinned and reload
+        # with SIGILL-risk warnings; the cache's value is the minutes-long
+        # tunnel TPU compiles, so keep it off for forced-CPU runs (tests,
+        # dryruns)
+        return
     try:
         import jax
 

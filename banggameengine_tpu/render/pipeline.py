@@ -50,6 +50,30 @@ def render_frame(
     if light is None:
         light = LightParams.default()
 
+    if wireframe and not depth_only:
+        # F1 wireframe: TRUE line primitives over the clear color (the
+        # reference's BGFX_DEBUG_WIREFRAME replaces fill with line raster,
+        # Renderer.cpp:766-783; like bgfx's debug mode there is no
+        # hidden-line removal).  Mesh edges are deduplicated at scene
+        # build; the depth-tested line pass draws near-to-far.
+        from banggameengine_tpu.render.lines import draw_lines
+        from banggameengine_tpu.render.shading import CLEAR_COLOR
+
+        clear = jnp.asarray(
+            [int(c * 255) for c in CLEAR_COLOR] + [255], jnp.uint8)
+        frame = jnp.broadcast_to(clear, (height, width, 4))
+        wm = world_mats[rs.edge_entity]                    # [E,4,4]
+        pts = jnp.einsum(
+            "eij,ekj->eki", wm[:, :3, :3], rs.edge_pos) + wm[:, None, :3, 3]
+        colors = jnp.ones((rs.edge_pos.shape[0], 4), jnp.float32)
+        frame = draw_lines(
+            frame, jnp.ones((height, width), jnp.float32),
+            pts, colors, rs.edge_valid, view, proj,
+        )
+        if return_depth:
+            return frame, jnp.ones((height, width), jnp.float32)
+        return frame
+
     # entity-level frustum cull -> triangle mask
     vis_ent = entity_frustum_mask(
         rs.ent_aabb_min, rs.ent_aabb_max, rs.ent_has_mesh,

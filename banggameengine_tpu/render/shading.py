@@ -362,6 +362,12 @@ def shade_visibility(
     return out.T.reshape(h, w, 4)
 
 
+def _resolve_pallas_cached(slot_p, tables_t, interpret):
+    from banggameengine_tpu.render.resolve_pallas import resolve_tiles_pallas
+
+    return resolve_tiles_pallas(slot_p, tables_t, interpret=interpret)
+
+
 def shade_visibility_tiled(
     tiled,                # raster.TiledVisibility
     width: int, height: int,
@@ -378,6 +384,7 @@ def shade_visibility_tiled(
     wireframe: bool = False,
     textures_quad: Array | None = None,
     textures_quad_t: Array | None = None,
+    resolve_backend: str = "xla",
 ) -> Array:
     """Tile-major deferred shade with a per-tile one-hot MXU resolve.
 
@@ -408,29 +415,41 @@ def shade_visibility_tiled(
     tables = tri_row_t.T[jnp.maximum(ids_kl, 0) // 2]      # [tiles, KL, C]
 
     slot_p = tiled.slot.reshape(n_tiles, px_per_tile)
-    oh = (slot_p[..., None] == jnp.arange(kl)[None, None, :]).astype(
-        jnp.float32)                                       # [tiles, px, KL]
-    # batch t, contract KL: [t, C, KL] x [t, px, KL] -> [t, C, px]
-    resolved = jax.lax.dot_general(
-        jnp.swapaxes(tables, 1, 2), oh,
-        dimension_numbers=(((2,), (2,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32)
-    resolved = jax.lax.optimization_barrier(resolved)
-
-    # heavy-pass winners beyond the resolve table: row-gather fallback,
-    # runtime-skipped when no pixel needs it
+    # heavy-pass winners beyond the resolve table take a row-gather
+    # fallback, runtime-skipped when no pixel needs it
     need_fb = slot_p >= kl
 
-    def fallback(resolved):
+    def _fb_rows():
         tid_t = jnp.take_along_axis(
             tiled.ids, jnp.maximum(slot_p, 0), axis=1) // 2
-        rows = jnp.take(tri_row_t, jnp.where(need_fb, tid_t, 0),
+        return jnp.take(tri_row_t, jnp.where(need_fb, tid_t, 0),
                         axis=1)                            # [C, t, px]
-        return jnp.where(need_fb[:, None, :], jnp.swapaxes(rows, 0, 1),
-                         resolved)
 
-    resolved = jax.lax.cond(
-        jnp.any(need_fb), fallback, lambda r: r, resolved)
+    if resolve_backend in ("pallas", "pallas_interpret"):
+        resolved_cp = _resolve_pallas_cached(
+            slot_p, jnp.swapaxes(tables, 1, 2),
+            resolve_backend == "pallas_interpret")         # [C, tiles, px]
+        resolved_cp = jax.lax.optimization_barrier(resolved_cp)
+        resolved_cp = jax.lax.cond(
+            jnp.any(need_fb),
+            lambda r: jnp.where(need_fb[None], _fb_rows(), r),
+            lambda r: r, resolved_cp)
+        get = lambda c: resolved_cp[c]
+    else:
+        oh = (slot_p[..., None] == jnp.arange(kl)[None, None, :]).astype(
+            jnp.float32)                                   # [tiles, px, KL]
+        # batch t, contract KL: [t, C, KL] x [t, px, KL] -> [t, C, px]
+        resolved = jax.lax.dot_general(
+            jnp.swapaxes(tables, 1, 2), oh,
+            dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)
+        resolved = jax.lax.optimization_barrier(resolved)
+        resolved = jax.lax.cond(
+            jnp.any(need_fb),
+            lambda r: jnp.where(need_fb[:, None, :],
+                                jnp.swapaxes(_fb_rows(), 0, 1), r),
+            lambda r: r, resolved)
+        get = lambda c: resolved[:, c, :]
 
     # tile-major pixel coordinates (+0.5 centers)
     tile_ids = jnp.arange(n_tiles, dtype=jnp.int32)
@@ -449,7 +468,7 @@ def shade_visibility_tiled(
     background = slot_p < 0
 
     rgb_r, rgb_g, rgb_b, alpha = _shade_core(
-        lambda c: resolved[:, c, :], b1, b2, pxc, pyc, ndc_z, background,
+        get, b1, b2, pxc, pyc, ndc_z, background,
         layout, True, width, height, view, proj,
         textures, textures_quad, textures_quad_t,
         camera_pos, light, wireframe)

@@ -94,6 +94,13 @@ class RenderScene:
     ent_aabb_max: jax.Array  # f32[N,3]
     ent_has_mesh: jax.Array  # bool[N]
 
+    # deduplicated mesh edges for the F1 wireframe line pass (the
+    # reference renders true line primitives, Renderer.cpp:766-783 +
+    # BGFX_STATE_PT_LINES; shared triangle edges emitted once)
+    edge_pos: jax.Array     # f32[E,2,3] object-space endpoints
+    edge_entity: jax.Array  # i32[E]
+    edge_valid: jax.Array   # bool[E]
+
     @property
     def num_triangles(self) -> int:
         return self.tri_material.shape[0]
@@ -513,6 +520,31 @@ def _build_render_scene(
         v_entity = np.zeros(3, np.int32)
         tri_material = np.zeros(1, np.int32)
 
+    # deduplicated mesh edges (per entity instance; corners are unshared in
+    # the vertex soup, so dedupe by quantized endpoint positions)
+    n_tri_real = len(tri_material)
+    edge_map: dict = {}
+    for t in range(n_tri_real):
+        ent = int(v_entity[3 * t])
+        for i, j in ((0, 1), (1, 2), (2, 0)):
+            a = v_pos[3 * t + i]
+            b = v_pos[3 * t + j]
+            ka = tuple(np.round(a, 4))
+            kb = tuple(np.round(b, 4))
+            key = (ent, min(ka, kb), max(ka, kb))
+            if key not in edge_map:
+                edge_map[key] = (a, b, ent)
+    if edge_map:
+        edge_pos = np.stack(
+            [np.stack([a, b]) for a, b, _ in edge_map.values()]
+        ).astype(np.float32)
+        edge_entity = np.asarray(
+            [e for _, _, e in edge_map.values()], np.int32)
+    else:
+        edge_pos = np.zeros((1, 2, 3), np.float32)
+        edge_entity = np.zeros(1, np.int32)
+    edge_valid = np.ones(len(edge_entity), bool) if edge_map else np.zeros(1, bool)
+
     # pad triangle count to a multiple of 128 lanes
     n_tri = len(tri_material)
     pad_tri = (-n_tri) % 128
@@ -594,4 +626,7 @@ def _build_render_scene(
         ent_aabb_min=jnp.asarray(ent_aabb_min),
         ent_aabb_max=jnp.asarray(ent_aabb_max),
         ent_has_mesh=jnp.asarray(ent_has_mesh),
+        edge_pos=jnp.asarray(edge_pos),
+        edge_entity=jnp.asarray(edge_entity),
+        edge_valid=jnp.asarray(edge_valid),
     )

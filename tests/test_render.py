@@ -284,6 +284,67 @@ class TestDemoRender:
             vis_depth=vis.depth, view=view, proj=proj))
         np.testing.assert_array_equal(a, b)
 
+    def test_pallas_resolve_matches_xla_resolve(self, demo):
+        """The VMEM one-hot resolve kernel (interpret mode on CPU) is
+        bit-exact against the XLA einsum resolve."""
+        from banggameengine_tpu.render import raster as rz
+        from banggameengine_tpu.render.shading import (
+            LightParams, shade_visibility_tiled,
+        )
+        from banggameengine_tpu.render.cull import entity_frustum_mask
+        from banggameengine_tpu import math3d
+
+        cam = Camera()
+        state = demo.initial_state
+        w, h = 320, 180
+        rs = demo.render
+        view = jnp.asarray(cam.view_matrix())
+        proj = jnp.asarray(cam.proj_matrix(w / h))
+        vis_ent = entity_frustum_mask(
+            rs.ent_aabb_min, rs.ent_aabb_max, rs.ent_has_mesh,
+            state.world, view, proj)
+        tri_valid = rs.tri_valid & vis_ent[rs.v_entity[::3]]
+        _, clip = rz.transform_vertices(
+            rs.v_pos, rs.v_entity, state.world, view, proj)
+        vis, _, tiled = rz.rasterize(clip, tri_valid, w, h,
+                                     bin_capacity=2048, return_tiled=True)
+        nm = math3d.normal_matrix(state.world)
+        world_nrm = rz.transform_normals(rs.v_nrm, rs.v_entity, nm)
+        inv_w = 1.0 / jnp.where(jnp.abs(clip[:, 3]) > 1e-9, clip[:, 3], 1e-9)
+        light = LightParams.default()
+        args = (tiled, w, h, None, world_nrm, rs.v_uv, inv_w,
+                rs.tri_material, rs.mat_base_tint, rs.mat_uv_scale,
+                rs.mat_spec_params, rs.mat_spec_color, rs.mat_tex,
+                rs.textures, rs.tex_size, jnp.asarray(cam.position), light,
+                view, proj)
+        kw = dict(shade_slots=64,
+                  textures_quad=getattr(rs, "textures_quad", None),
+                  textures_quad_t=getattr(rs, "textures_quad_t", None))
+        a = np.asarray(shade_visibility_tiled(
+            *args, resolve_backend="pallas_interpret", **kw))
+        b = np.asarray(shade_visibility_tiled(
+            *args, resolve_backend="xla", **kw))
+        np.testing.assert_array_equal(a, b)
+
+    def test_wireframe_true_line_primitives(self, demo):
+        """F1 wireframe draws actual line primitives (white mesh edges on
+        the clear color), not barycentric-darkened fill
+        (Renderer.cpp:766-783 parity)."""
+        cam = Camera()
+        state = demo.initial_state
+        w, h = 320, 180
+        frame = np.asarray(render_frame(
+            demo.render, state.world, cam.view_matrix(),
+            cam.proj_matrix(w / h), jnp.asarray(cam.position),
+            width=w, height=h, wireframe=True))
+        white = (frame[..., :3] == 255).all(-1)
+        sky = (frame[..., :3] == [0x88, 0xAA, 0xFF]).all(-1)
+        # lines exist but cover a small fraction; everything else is clear
+        assert 0.001 < white.mean() < 0.5
+        assert (white | sky).mean() > 0.999
+        # ground-plane edge rows: the lower half must contain line pixels
+        assert white[h // 2:].any()
+
     def test_demo_depth_only(self, demo):
         cam = Camera()
         state = demo.initial_state
