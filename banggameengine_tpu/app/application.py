@@ -241,7 +241,9 @@ class Application:
             sprint=jnp.asarray(self.input.action_held("Sprint")),
             cam_yaw=jnp.float32(self.camera.yaw),
         )
+        self._prev_state = self.state  # motion-state interpolation source
         self.state, events = self._step(self.state, inp, self.built.static)
+        self._last_events = events  # F9 reads contact_overflow lazily
         dispatch_step_events(self.bus, events, self.built.static.trig_entity)
 
         # per-frame downward raycast HUD line (Application.cpp:258-277)
@@ -365,11 +367,18 @@ class Application:
     def physics_stats(self) -> str:
         """F9 stats (PhysicsSystem.cpp:1330-1341)."""
         c = self.built.counts
+        ovf = ""
+        ev = getattr(self, "_last_events", None)
+        if ev is not None and hasattr(ev, "contact_overflow"):
+            import numpy as _np
+
+            n = int(_np.asarray(ev.contact_overflow).sum())
+            ovf = f" contactOverflow={n}"
         return (
             f"[Physics] bodies={c['rigid_bodies']} colliders={c['colliders']} "
             f"characters={c['characters']} triggers={c['triggers']} "
             f"fixedStep={self.config.fixed_step:.6f} "
-            f"steps={int(self.state.step_idx)}"
+            f"steps={int(self.state.step_idx)}{ovf}"
         )
 
     # ------------------------------------------------------------------
@@ -392,8 +401,24 @@ class Application:
             )
         view = self.camera.view_matrix()
         proj = self.camera.proj_matrix(self.width / self.height)
+        # render Bullet-style interpolated motion states: the accumulator
+        # remainder blends the last two fixed steps so display frames
+        # between 120 Hz sim ticks are smooth (PhysicsSystem.cpp:848-875)
+        world = self.state.world
+        prev = getattr(self, "_prev_state", None)
+        if prev is not None and self.config.fixed_step > 0:
+            if not hasattr(self, "_interp_fn"):
+                import jax
+
+                from banggameengine_tpu.engine import interpolated_world
+
+                self._interp_fn = jax.jit(interpolated_world)
+            alpha = min(max(self._accumulator / self.config.fixed_step,
+                            0.0), 1.0)
+            world = self._interp_fn(prev, self.state, jnp.float32(alpha),
+                                    self.built.static)
         frame, depth = self._render[key](
-            self.state.world, view, proj, jnp.asarray(self.camera.position),
+            world, view, proj, jnp.asarray(self.camera.position),
             self.light,
         )
         if self.physics_overlay:

@@ -16,6 +16,7 @@ from typing import Callable
 import jax
 import jax.numpy as jnp
 
+from banggameengine_tpu import math3d
 from banggameengine_tpu.ecs.transform import update_world_matrices
 from banggameengine_tpu.physics.step import physics_step
 from banggameengine_tpu.state import InputFrame, StaticScene, StepEvents, WorldState
@@ -60,6 +61,28 @@ def engine_step(
     )
     state = tree_replace(state, world=world)
     return state, events
+
+
+def interpolated_world(prev_state: WorldState, state: WorldState, alpha,
+                       static: StaticScene) -> jax.Array:
+    """World matrices at a fractional time between two fixed steps.
+
+    The reference renders Bullet's interpolated motion states
+    (``stepSimulation(dt, 4, fixedStep)`` keeps transforms interpolated by
+    the accumulator remainder, ``PhysicsSystem.cpp:848-875``), so display
+    frames between 120 Hz sim ticks are smooth at any display rate.  This
+    is the TPU image: lerp positions / nlerp rotations between the two
+    step states (``alpha`` = accumulator remainder / fixed_dt in [0, 1))
+    and rebuild the world matrices, character visual offsets included.
+    """
+    alpha = jnp.float32(alpha)
+    pos = prev_state.pos + (state.pos - prev_state.pos) * alpha
+    quat = math3d.quat_nlerp(prev_state.quat, state.quat, alpha)
+    interp = tree_replace(state, pos=pos, quat=quat)
+    return update_world_matrices(
+        visual_positions(interp, static), quat, state.scale,
+        static.parent, static.level_nodes, state.alive,
+    )
 
 
 def make_step_fn(

@@ -181,6 +181,15 @@ def euler_zyx_from_quat(q: Array) -> Array:
     return jnp.stack([ax, ay, az], axis=-1)
 
 
+def quat_nlerp(a: Array, b: Array, t) -> Array:
+    """Normalized linear interpolation with hemisphere correction.
+
+    For the small per-substep rotations of motion-state interpolation this
+    matches slerp to float precision while staying branch-free."""
+    sign = jnp.where(jnp.sum(a * b, axis=-1, keepdims=True) < 0.0, -1.0, 1.0)
+    return quat_normalize(a + (b * sign - a) * t)
+
+
 def quat_integrate(q: Array, omega: Array, dt) -> Array:
     """Integrate unit quaternion by world angular velocity over dt.
 

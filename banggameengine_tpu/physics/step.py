@@ -257,7 +257,7 @@ def physics_step(
         ground_ok_s = (dyn_s > 0) & jnp.asarray(static.ground_enabled)
         if warm_start:
             (c_prt, c_ptx, c_pty, c_ptz, c_nx, c_ny, c_nz, c_dep, c_valid,
-             _ovf, c_feat) = contact_t.box_contacts_t(
+             contact_overflow, c_feat) = contact_t.box_contacts_t(
                 pos_s, quat_s, half_s, nl.idx, nl.valid, ground_ok_s,
                 budget=CONTACT_BUDGET, orig_id=order,
             )
@@ -292,7 +292,7 @@ def physics_step(
             )
         else:
             (c_prt, c_ptx, c_pty, c_ptz, c_nx, c_ny, c_nz, c_dep, c_valid,
-             _ovf) = contact_t.box_contacts_t(
+             contact_overflow) = contact_t.box_contacts_t(
                 pos_s, quat_s, half_s, nl.idx, nl.valid, ground_ok_s,
                 budget=CONTACT_BUDGET,
             )
@@ -310,7 +310,8 @@ def physics_step(
         return _finish_step(state, static, pos, quat, vel, ang,
                             char_vel_y, char_on_ground, is_dynamic, moving,
                             alive, has_collider, trigger_mode, dt, any_trig,
-                            contact_cache=contact_cache)
+                            contact_cache=contact_cache,
+                            contact_overflow=contact_overflow)
     if broadphase == "dense":
         from banggameengine_tpu.physics.broadphase import (
             build_neighbor_lists_dense,
@@ -391,7 +392,7 @@ def physics_step(
     )
 
     # (the one-hot feature move is exact below 2^24, i.e. capacities < 262k)
-    c_b, c_pt, c_n, c_d, c_valid, _overflow, c_f = sv.compact_contacts(
+    c_b, c_pt, c_n, c_d, c_valid, contact_overflow, c_f = sv.compact_contacts(
         all_b, all_pt, all_n, all_d, all_v, CONTACT_BUDGET, feat=all_f
     )
     safe_b = jnp.maximum(c_b, 0)
@@ -438,14 +439,16 @@ def physics_step(
     return _finish_step(state, static, pos, quat, vel, ang,
                         char_vel_y, char_on_ground, is_dynamic, moving,
                         alive, has_collider, trigger_mode, dt, any_trig,
-                        contact_cache=contact_cache)
+                        contact_cache=contact_cache,
+                        contact_overflow=contact_overflow)
 
 
 def _finish_step(state, static, pos, quat, vel, ang, char_vel_y,
                  char_on_ground, is_dynamic, moving, alive, has_collider,
                  trigger_mode, dt,
                  any_trig=None,
-                 contact_cache=None) -> tuple[WorldState, StepEvents]:
+                 contact_cache=None,
+                 contact_overflow=None) -> tuple[WorldState, StepEvents]:
     """Shared step tail: integrate, triggers, state assembly."""
     # semi-implicit Euler integrate dynamic AND kinematic bodies (kinematic
     # velocity is host-driven and persists across steps until changed)
@@ -505,5 +508,9 @@ def _finish_step(state, static, pos, quat, vel, ang, char_vel_y,
         step_idx=state.step_idx + 1,
         **cache_updates,
     )
-    events = StepEvents(trigger_enter=enter, trigger_stay=stay, trigger_exit=exit_)
+    events = StepEvents(
+        trigger_enter=enter, trigger_stay=stay, trigger_exit=exit_,
+        contact_overflow=(jnp.int32(0) if contact_overflow is None
+                          else contact_overflow.astype(jnp.int32)),
+    )
     return new_state, events

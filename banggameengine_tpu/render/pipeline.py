@@ -38,7 +38,8 @@ def render_frame(
     depth_only: bool = False,
     return_depth: bool = False,
     wireframe: bool = False,
-    shade_mode: str = "tiled",
+    shade_mode: str = "gather",
+    resolve_backend: str = "xla",
 ):
     """Render one shaded frame (or depth buffer).
 
@@ -114,6 +115,7 @@ def render_frame(
             rs.textures, rs.tex_size,
             camera_pos, light, view, proj,
             shade_slots=rz.K_GLOBAL + 48,  # == the light raster list
+            resolve_backend=resolve_backend,
             wireframe=wireframe,
             textures_quad=getattr(rs, "textures_quad", None),
             textures_quad_t=getattr(rs, "textures_quad_t", None),

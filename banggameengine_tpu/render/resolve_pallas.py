@@ -38,7 +38,7 @@ def _resolve_kernel(slot_ref, table_ref, out_ref):
     kl_iota = jax.lax.broadcasted_iota(
         jnp.int32, (KL_PAD, slots.shape[0]), 0)
     oh = (kl_iota == slots[None, :]).astype(jnp.float32)   # [KL_PAD, px]
-    out_ref[:, 0, :] = jnp.dot(
+    out_ref[:, :] = jnp.dot(
         table_ref[0], oh, preferred_element_type=jnp.float32)
 
 
@@ -55,9 +55,13 @@ def resolve_tiles_pallas(
     tab = jnp.zeros((n_tiles, c_pad, KL_PAD), jnp.float32)
     tab = tab.at[:, :c, :kl].set(tables_t)
 
+    # output is 2-D [C_pad, tiles*px] with a (C_pad, px) block per tile —
+    # Mosaic requires the last two block dims to be (8, 128)-divisible,
+    # which a [C_pad, 1, px] 3-D block is not; callers reshape channel
+    # rows back to [tiles, px] (a free row-major split)
     out = pl.pallas_call(
         _resolve_kernel,
-        out_shape=jax.ShapeDtypeStruct((c_pad, n_tiles, px), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((c_pad, n_tiles * px), jnp.float32),
         grid=(n_tiles,),
         in_specs=[
             pl.BlockSpec((1, 1, px), lambda t: (t, 0, 0),
@@ -65,8 +69,8 @@ def resolve_tiles_pallas(
             pl.BlockSpec((1, c_pad, KL_PAD), lambda t: (t, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((c_pad, 1, px), lambda t: (0, t, 0),
+        out_specs=pl.BlockSpec((c_pad, px), lambda t: (0, t),
                                memory_space=pltpu.VMEM),
         interpret=interpret,
     )(slot_flat[:, None, :], tab)
-    return out[:c]
+    return out[:c].reshape(c, n_tiles, px)

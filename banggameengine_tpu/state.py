@@ -202,6 +202,11 @@ class StepEvents:
     trigger_enter: Array  # bool[T, N]
     trigger_stay: Array   # bool[T, N]
     trigger_exit: Array   # bool[T, N]
+    # total contact-slot candidates dropped by the per-body budget this
+    # step (the hard-cap diagnostics the F9 stats surface; 0 = budgets
+    # sufficient)
+    contact_overflow: Array = dataclasses.field(
+        default_factory=lambda: jnp.int32(0))
 
 
 CONTACT_CACHE_SLOTS = 12   # == physics.step.CONTACT_BUDGET

@@ -55,12 +55,15 @@ def main():
     cam_pos = jax.device_put(jnp.asarray(cam.position))
     world = jax.device_put(built.initial_state.world)
 
-    def make_frame(mode):
-        @jax.jit
+    def make_frame(mode, resolve="xla"):
+        import functools
+
+        @functools.partial(jax.jit, static_argnames=())
         def f(r, w):
             return render_frame(r, w, view, proj, cam_pos,
                                 width=width, height=height,
-                                bin_capacity=2048, shade_mode=mode)
+                                bin_capacity=2048, shade_mode=mode,
+                                resolve_backend=resolve)
         return f
 
     @jax.jit
@@ -93,9 +96,8 @@ def main():
             preferred_element_type=jnp.float32)
         return resolved.sum((0, 2))
 
-    timeit("frame_gather", make_frame("gather"), rs, world)
     timeit("frame_tiled", make_frame("tiled"), rs, world)
-    timeit("resolve_only", resolve_only, rs, world)
+    timeit("frame_gather", make_frame("gather"), rs, world)
 
 
 if __name__ == "__main__":

@@ -145,6 +145,29 @@ def test_frame_fn_merged_single_executable_parity(built):
     np.testing.assert_allclose(np.asarray(s_a.pos), np.asarray(s_b.pos))
 
 
+def test_interpolated_world_blends_substeps(built):
+    """Motion-state interpolation (PhysicsSystem.cpp:848-875): alpha=0
+    reproduces the previous step's world, alpha=1 the current one, and
+    alpha=0.5 lands positions midway."""
+    from banggameengine_tpu.engine import engine_step, interpolated_world
+
+    inp = InputFrame.zero()
+    sfn = jax.jit(engine_step)
+    s1, _ = sfn(jax.tree.map(jnp.array, built.initial_state), inp,
+                built.static)
+    s2, _ = sfn(s1, inp, built.static)  # CJ falling
+
+    w0 = np.asarray(interpolated_world(s1, s2, 0.0, built.static))
+    w1 = np.asarray(interpolated_world(s1, s2, 1.0, built.static))
+    wh = np.asarray(interpolated_world(s1, s2, 0.5, built.static))
+    np.testing.assert_allclose(w0, np.asarray(s1.world), atol=1e-6)
+    np.testing.assert_allclose(w1, np.asarray(s2.world), atol=1e-6)
+    cj = built.find_entity("cj")
+    y0, y1, yh = w0[cj, 1, 3], w1[cj, 1, 3], wh[cj, 1, 3]
+    assert y1 < y0  # falling
+    np.testing.assert_allclose(yh, 0.5 * (y0 + y1), atol=1e-6)
+
+
 def test_frame_fn_chains_with_donation(built):
     view, proj, cam_pos = _camera()
     ffn = make_frame_fn(built, W, H, bin_capacity=256)
