@@ -393,34 +393,39 @@ class Application:
         """
         if self._render is None:
             self._render = {}
-        key = bool(self.wireframe)
-        if key not in self._render:
-            self._render[key] = make_render_fn(
-                self.built.render, self.width, self.height,
-                bin_capacity=2048, return_depth=True, wireframe=key,
-            )
         view = self.camera.view_matrix()
         proj = self.camera.proj_matrix(self.width / self.height)
         # render Bullet-style interpolated motion states: the accumulator
         # remainder blends the last two fixed steps so display frames
-        # between 120 Hz sim ticks are smooth (PhysicsSystem.cpp:848-875)
-        world = self.state.world
+        # between 120 Hz sim ticks are smooth (PhysicsSystem.cpp:848-875).
+        # The blend runs INSIDE the render dispatch (make_interp_render_fn)
+        # — a separate interpolation executable would add a dependent
+        # program pair per frame (~12 ms stall on the tunneled runtime).
         prev = getattr(self, "_prev_state", None)
-        if prev is not None and self.config.fixed_step > 0:
-            if not hasattr(self, "_interp_fn"):
-                import jax
+        interp = prev is not None and self.config.fixed_step > 0
+        key = (bool(self.wireframe), interp)
+        if key not in self._render:
+            from banggameengine_tpu.render.pipeline import (
+                make_interp_render_fn,
+            )
 
-                from banggameengine_tpu.engine import interpolated_world
-
-                self._interp_fn = jax.jit(interpolated_world)
+            factory = make_interp_render_fn if interp else make_render_fn
+            self._render[key] = factory(
+                self.built.render, self.width, self.height,
+                bin_capacity=2048, return_depth=True, wireframe=key[0],
+            )
+        if interp:
             alpha = min(max(self._accumulator / self.config.fixed_step,
                             0.0), 1.0)
-            world = self._interp_fn(prev, self.state, jnp.float32(alpha),
-                                    self.built.static)
-        frame, depth = self._render[key](
-            world, view, proj, jnp.asarray(self.camera.position),
-            self.light,
-        )
+            frame, depth = self._render[key](
+                prev, self.state, alpha, self.built.static, view, proj,
+                jnp.asarray(self.camera.position), self.light,
+            )
+        else:
+            frame, depth = self._render[key](
+                self.state.world, view, proj,
+                jnp.asarray(self.camera.position), self.light,
+            )
         if self.physics_overlay:
             from banggameengine_tpu.physics.debugdraw import collision_shape_lines
             from banggameengine_tpu.render.lines import draw_lines

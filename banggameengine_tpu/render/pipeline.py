@@ -172,10 +172,43 @@ def make_render_fn(render_scene, width: int, height: int,
     return call
 
 
+def make_interp_render_fn(render_scene, width: int, height: int,
+                          bin_capacity: int = 512,
+                          return_depth: bool = False,
+                          wireframe: bool = False):
+    """Jitted renderer of Bullet-style interpolated motion states.
+
+    Takes the last TWO fixed-step states plus the accumulator remainder
+    ``alpha`` and renders the blended world (``engine.interpolated_world``)
+    in the SAME dispatch — a separate interpolation program would add a
+    dependent executable pair per frame (~12 ms stall on tunneled
+    runtimes).  Matches the reference rendering Bullet's interpolated
+    transforms (``PhysicsSystem.cpp:848-875``).
+    """
+    from banggameengine_tpu.engine import interpolated_world
+
+    def f(rs, prev_state, state, alpha, static, view, proj, cam_pos, light):
+        world = interpolated_world(prev_state, state, alpha, static)
+        return render_frame(rs, world, view, proj, cam_pos, light,
+                            width=width, height=height,
+                            bin_capacity=bin_capacity,
+                            return_depth=return_depth, wireframe=wireframe)
+
+    jfn = jax.jit(f)
+    rs = jax.device_put(render_scene)
+
+    def call(prev_state, state, alpha, static, view, proj, cam_pos,
+             light=None):
+        return jfn(rs, prev_state, state, jnp.float32(alpha), static,
+                   view, proj, cam_pos, light)
+
+    return call
+
+
 def make_frame_fn(built, width: int, height: int,
                   solver_iterations: int = 10, bin_capacity: int = 2048,
                   pipelined: bool = False, substeps: int = 1,
-                  merged: bool = False,
+                  merged: bool = False, merged_barrier: bool = False,
                   **physics_kwargs):
     """The interactive tick: engine step(s) + shaded frame, one host call.
 
@@ -230,10 +263,15 @@ def make_frame_fn(built, width: int, height: int,
     bound = {"st": jax.device_put(built.static)}
     rs = jax.device_put(built.render)
 
-    if merged:
+    if merged or merged_barrier:
         def tick(state, inp, st_, rs_, view, proj, cam_pos, light):
             s2, ev = step(state, inp, st_)
-            img = render(rs_, s2.world, view, proj, cam_pos, light)
+            world = s2.world
+            if merged_barrier:
+                # pin the phase boundary: stops XLA scheduling render ops
+                # interleaved with (and spilling across) the step phase
+                world = jax.lax.optimization_barrier(world)
+            img = render(rs_, world, view, proj, cam_pos, light)
             return s2, img, ev
 
         jtick = jax.jit(tick, donate_argnums=(0,))

@@ -342,8 +342,12 @@ def shade_visibility(
         mat_base_tint, mat_uv_scale, mat_spec_color, mat_tex, tex_size,
         reconstruct_wp)
 
+    # promise_in_bounds: tid is max(vis_id, 0) and raster ids are < T by
+    # construction — the default clip mode costs a 2M-index clamp+select
+    # pair (~2.9 ms at 1080p, measured in the HLO trace)
     a = jax.lax.optimization_barrier(
-        jnp.take(tri_row_t, tid, axis=1))              # [C, P] ONE gather
+        tri_row_t.at[:, tid].get(
+            mode="promise_in_bounds"))                 # [C, P] ONE gather
 
     pxc = jax.lax.broadcasted_iota(jnp.float32, (h, w), 1).reshape(p) + 0.5
     pyc = jax.lax.broadcasted_iota(jnp.float32, (h, w), 0).reshape(p) + 0.5
@@ -519,8 +523,10 @@ def _sample_bilinear_planar(textures, textures_quad, textures_quad_t,
         flat = (tex_id * s + y0i) * s + x0i
         # gather with a FLAT index vector (multi-dim index arrays lower to
         # a slower gather); reshape the planar result back
+        # promise_in_bounds: flat < T*S*S by the wrap mods above
         q = jax.lax.optimization_barrier(
-            jnp.take(textures_quad_t, flat.reshape(-1), axis=1)
+            textures_quad_t.at[:, flat.reshape(-1)].get(
+                mode="promise_in_bounds")
         ).reshape((16,) + flat.shape)                    # [16, ...] u8
 
         def channel(c):

@@ -67,9 +67,11 @@ def main():
         return sec
 
     loop("split")
+    loop("merged_barrier", merged_barrier=True)
     loop("merged", merged=True)
-    loop("merged x2", merged=True, substeps=2)
-    loop("pipelined", pipelined=True)
+    if "--all" in sys.argv:
+        loop("merged x2", merged=True, substeps=2)
+        loop("pipelined", pipelined=True)
 
 
 if __name__ == "__main__":
