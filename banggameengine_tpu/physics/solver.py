@@ -155,10 +155,23 @@ def solve_contacts_unified(
     (ln, lt1, lt2) to the return for the caller to cache."""
     is_static = c_b < 0
     safe_b = jnp.maximum(c_b, 0)
+    n = v.shape[0]
 
     ra = c_point - pos[:, None]                    # [N,C,3]
     rb = c_point - pos[safe_b]
     t1, t2 = _orthonormal_tangents(c_normal)
+
+    # Partner-velocity reads happen EVERY solver iteration.  A dynamic
+    # gather runs scalar-bound on TPU (~10 ns/element through this
+    # runtime), so for small body counts we build a one-hot selection
+    # tensor ONCE and turn the per-iteration gather into an MXU
+    # contraction (exact: each row has at most a single 1; static/world
+    # slots are all-zero rows, replacing the where(is_static, 0, ...)).
+    use_onehot = n <= 128
+    if use_onehot:
+        sel_partner = jax.nn.one_hot(
+            jnp.where(is_static, n, safe_b), n + 1, dtype=v.dtype
+        )[..., :n]                                 # [N,C,N]
 
     im_b = jnp.where(is_static, 0.0, inv_m[safe_b])
     ib = jnp.where(is_static[..., None, None], 0.0, inv_i_world[safe_b])
@@ -183,9 +196,14 @@ def solve_contacts_unified(
 
     def rel_vel(v_, w_):
         va = v_[:, None] + jnp.cross(w_[:, None], ra)
-        vb = jnp.where(is_static[..., None], 0.0, v_[safe_b]) + jnp.cross(
-            jnp.where(is_static[..., None], 0.0, w_[safe_b]), rb
-        )
+        if use_onehot:
+            vb_lin = jnp.einsum("ncm,mk->nck", sel_partner, v_)
+            wb = jnp.einsum("ncm,mk->nck", sel_partner, w_)
+            vb = vb_lin + jnp.cross(wb, rb)
+        else:
+            vb = jnp.where(is_static[..., None], 0.0, v_[safe_b]) + jnp.cross(
+                jnp.where(is_static[..., None], 0.0, w_[safe_b]), rb
+            )
         return va - vb
 
     vn0 = jnp.sum(rel_vel(v, w) * c_normal, -1)

@@ -209,6 +209,7 @@ def make_frame_fn(built, width: int, height: int,
                   solver_iterations: int = 10, bin_capacity: int = 2048,
                   pipelined: bool = False, substeps: int = 1,
                   merged: bool = False, merged_barrier: bool = False,
+                  donate: bool = True,
                   **physics_kwargs):
     """The interactive tick: engine step(s) + shaded frame, one host call.
 
@@ -274,13 +275,17 @@ def make_frame_fn(built, width: int, height: int,
             img = render(rs_, world, view, proj, cam_pos, light)
             return s2, img, ev
 
-        jtick = jax.jit(tick, donate_argnums=(0,))
+        jtick = jax.jit(tick, donate_argnums=(0,) if donate else ())
 
         def call(state, inp, view, proj, cam_pos, light=None):
             return jtick(state, inp, bound["st"], rs, view, proj, cam_pos,
                          light)
     else:
-        jstep = jax.jit(step, donate_argnums=(0,))
+        # donate=False exists only for A/B experiments: measured identical
+        # to donation on the tunneled runtime (scripts/profile_loop.py,
+        # 40.7 ms either way), so the aliasing write-after-read theory for
+        # the loop stall is refuted; donation stays the default.
+        jstep = jax.jit(step, donate_argnums=(0,) if donate else ())
         jrender = jax.jit(render)
 
         if pipelined:

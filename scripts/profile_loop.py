@@ -67,6 +67,7 @@ def main():
         return sec
 
     loop("split")
+    loop("split donate", donate=True)
     loop("merged_barrier", merged_barrier=True)
     loop("merged", merged=True)
     if "--all" in sys.argv:
