@@ -40,6 +40,7 @@ def render_frame(
     wireframe: bool = False,
     shade_mode: str = "gather",
     resolve_backend: str = "xla",
+    raster_backend: str = "auto",
 ):
     """Render one shaded frame (or depth buffer).
 
@@ -91,12 +92,13 @@ def render_frame(
     tiled = None
     if depth_only or shade_mode != "tiled":
         vis, _overflow = rz.rasterize(
-            clip, tri_valid, width, height, bin_capacity=bin_capacity
+            clip, tri_valid, width, height, bin_capacity=bin_capacity,
+            backend=raster_backend,
         )
     else:
         vis, _overflow, tiled = rz.rasterize(
             clip, tri_valid, width, height, bin_capacity=bin_capacity,
-            return_tiled=True,
+            return_tiled=True, backend=raster_backend,
         )
     if depth_only:
         return vis.depth
@@ -150,7 +152,8 @@ def render_frame(
 
 def make_render_fn(render_scene, width: int, height: int,
                    bin_capacity: int = 512, depth_only: bool = False,
-                   return_depth: bool = False, wireframe: bool = False):
+                   return_depth: bool = False, wireframe: bool = False,
+                   raster_backend: str = "auto"):
     """Jitted frame renderer bound to the (static) render scene.
 
     The scene arrays enter the executable as traced arguments rather than
@@ -162,6 +165,7 @@ def make_render_fn(render_scene, width: int, height: int,
         width=width, height=height,
         bin_capacity=bin_capacity, depth_only=depth_only,
         return_depth=return_depth, wireframe=wireframe,
+        raster_backend=raster_backend,
     )
     jfn = jax.jit(fn)
     rs = jax.device_put(render_scene)

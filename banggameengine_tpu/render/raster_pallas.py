@@ -65,31 +65,48 @@ def _tile_kernel(tidx_ref, x_ref, y_ref, z_ref, oid_ref, cb1_ref, cb2_ref,
         b1b = b1_ref[0]
         b2b = b2_ref[0]
         slotb = slot_ref[0]
-        for c in range(chunk):                      # static unroll
-            x0, x1, x2 = x[c, 0], x[c, 1], x[c, 2]
-            y0, y1, y2 = y[c, 0], y[c, 1], y[c, 2]
-            e0 = (x1 - x0) * (py - y0) - (y1 - y0) * (px - x0)
-            e1 = (x2 - x1) * (py - y1) - (y2 - y1) * (px - x1)
-            e2 = (x0 - x2) * (py - y2) - (y0 - y2) * (px - x2)
-            area = (x1 - x0) * (y2 - y0) - (y1 - y0) * (x2 - x0)
-            pos = (e0 >= 0) & (e1 >= 0) & (e2 >= 0)
-            neg = (e0 <= 0) & (e1 <= 0) & (e2 <= 0)
-            apos = area > 0
-            cover = (pos & apos) | (neg & ~apos)   # select-free two-sided
-            safe_area = jnp.where(jnp.abs(area) > 1e-9, area, 1e-9)
-            inv_area = 1.0 / safe_area
-            w1 = e2 * inv_area
-            w2 = e0 * inv_area
-            w0 = 1.0 - w1 - w2
-            depth = w0 * zz[c, 0] + w1 * zz[c, 1] + w2 * zz[c, 2]
-            ok = cover & (okc[c] != 0) & (depth >= 0.0) & (depth <= 1.0)
-            better = ok & (depth < zbuf)
-            ob1 = w0 * cb1[c, 0] + w1 * cb1[c, 1] + w2 * cb1[c, 2]
-            ob2 = w0 * cb2[c, 0] + w1 * cb2[c, 1] + w2 * cb2[c, 2]
-            zbuf = jnp.where(better, depth, zbuf)
-            tid = jnp.where(better, jnp.full_like(tid, oid[c]), tid)
-            b1b = jnp.where(better, ob1, b1b)
-            b2b = jnp.where(better, ob2, b2b)
+
+        # Batched edge math: every per-triangle quantity becomes a [C,1,1]
+        # broadcast against the [H,W] pixel block, so the whole chunk is
+        # pure vector work — the per-triangle python loop below only runs
+        # the 6-op select chain (the original unrolled form spent its time
+        # on ~9 scalar memory extracts per triangle).  Operation order and
+        # associativity match the scalar version exactly (bit parity with
+        # the XLA path is tested).
+        def col(a, j):
+            return a[:, j][:, None, None]           # [C,1,1]
+
+        x0, x1, x2 = col(x, 0), col(x, 1), col(x, 2)
+        y0, y1, y2 = col(y, 0), col(y, 1), col(y, 2)
+        pxb = px[None]                              # [1,H,W]
+        pyb = py[None]
+        e0 = (x1 - x0) * (pyb - y0) - (y1 - y0) * (pxb - x0)
+        e1 = (x2 - x1) * (pyb - y1) - (y2 - y1) * (pxb - x1)
+        e2 = (x0 - x2) * (pyb - y2) - (y0 - y2) * (pxb - x2)
+        area = (x1 - x0) * (y2 - y0) - (y1 - y0) * (x2 - x0)
+        pos = (e0 >= 0) & (e1 >= 0) & (e2 >= 0)
+        neg = (e0 <= 0) & (e1 <= 0) & (e2 <= 0)
+        apos = area > 0
+        cover = (pos & apos) | (neg & ~apos)       # select-free two-sided
+        safe_area = jnp.where(jnp.abs(area) > 1e-9, area, 1e-9)
+        inv_area = 1.0 / safe_area
+        w1 = e2 * inv_area
+        w2 = e0 * inv_area
+        w0 = 1.0 - w1 - w2
+        depth = w0 * col(zz, 0) + w1 * col(zz, 1) + w2 * col(zz, 2)
+        okb = (okc != 0)[:, None, None]
+        ok_all = cover & okb & (depth >= 0.0) & (depth <= 1.0)
+        ob1 = w0 * col(cb1, 0) + w1 * col(cb1, 1) + w2 * col(cb1, 2)
+        ob2 = w0 * col(cb2, 0) + w1 * col(cb2, 1) + w2 * col(cb2, 2)
+        oidb = oid[:, None, None]                   # [C,1,1] int32
+
+        for c in range(chunk):                      # select chain only
+            better = ok_all[c] & (depth[c] < zbuf)
+            zbuf = jnp.where(better, depth[c], zbuf)
+            tid = jnp.where(better, jnp.broadcast_to(oidb[c], tid.shape),
+                            tid)
+            b1b = jnp.where(better, ob1[c], b1b)
+            b2b = jnp.where(better, ob2[c], b2b)
             slotb = jnp.where(better, base + c, slotb)
         zb_ref[0] = zbuf
         tid_ref[0] = tid

@@ -42,7 +42,13 @@ from bench import _load_built_demo
 W, H = 1920, 1080
 
 
-def main():
+
+def _maybe(only, name):
+    import os
+    sel = os.environ.get("CHAIN3_ONLY", "")
+    return (not sel) or name in sel.split(",")
+
+def main(only=None):
     built = _load_built_demo()
     census = scene_census(built.static)
     cam = Camera()
@@ -84,6 +90,8 @@ def main():
     world0 = jax.device_put(built.initial_state.world)
 
     def timeloop(name, body, readback, n=15, warmup=3):
+        if not _maybe(None, name):
+            return
         for _ in range(warmup):
             out = body()
         np.asarray(readback(out))
