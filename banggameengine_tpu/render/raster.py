@@ -372,6 +372,7 @@ def _raster_tile(tile_x0, tile_y0, g_x, g_y, g_z, g_oid, g_cb, g_ok,
 def rasterize(clip, tri_valid, width: int, height: int,
               bin_capacity: int = 2048, chunk: int = 8,
               light_capacity: int = 48, heavy_tiles: int = 64,
+              heavy_capacity: int = 256,
               backend: str = "auto", return_tiled: bool = False,
               ):
     """Full visibility pass.  width/height are padded up to tile multiples
@@ -482,11 +483,20 @@ def rasterize(clip, tri_valid, width: int, height: int,
         # not interleaved)
         light_local_cap = kl - K_GLOBAL
         heavy_sel = jax.lax.top_k(local_counts, h)[1]      # tile indices
+        # the heavy pass re-rasters at ``heavy_capacity`` LOCAL slots, not
+        # the full bin capacity: the demo's worst tiles hold ~170 locals
+        # while the bin list is 2048 deep — re-rastering the whole list
+        # made the heavy branch cost 64*2048 triangle-tile evals (~17 ms
+        # on-chip, the dominant cost of every frame once a dense mesh is
+        # in view).  Locals beyond the heavy capacity are dropped and
+        # surface in the overflow counter like every other budget here.
+        kh = min(K_GLOBAL + heavy_capacity, ids.shape[1])
+        heavy_local_cap = kh - K_GLOBAL
 
         def heavy_branch(bufs):
             zb, tid, b1, b2, slot = bufs
             zb_h, tid_h, b1_h, b2_h, slot_h = raster(
-                gathered(ids[heavy_sel]), heavy_sel.astype(jnp.int32),
+                gathered(ids[heavy_sel][:, :kh]), heavy_sel.astype(jnp.int32),
                 tx[heavy_sel], ty[heavy_sel]
             )
             # only overwrite tiles that actually exceeded the light capacity
@@ -504,10 +514,13 @@ def rasterize(clip, tri_valid, width: int, height: int,
             lambda bufs: bufs,
             (zb, tid, b1, b2, slot),
         )
-        # light-capacity overflow not covered by the heavy pass
-        over_light = jnp.maximum(local_counts - light_local_cap, 0).sum() \
-            - jnp.maximum(local_counts[heavy_sel] - light_local_cap, 0).sum()
-        overflow = overflow + over_light
+        # light-capacity overflow not covered by the heavy pass (heavy
+        # coverage itself is capped at heavy_local_cap)
+        total_over = jnp.maximum(local_counts - light_local_cap, 0).sum()
+        covered = jnp.maximum(
+            jnp.minimum(local_counts[heavy_sel], heavy_local_cap)
+            - light_local_cap, 0).sum()
+        overflow = overflow + total_over - covered
 
     def untile(a):
         a = a.reshape(tiles_y, tiles_x, TILE_H, TILE_W)

@@ -146,14 +146,24 @@ def _render_setup(width, height, depth_only):
     from banggameengine_tpu.render.camera import Camera
     from banggameengine_tpu.render.pipeline import make_render_fn
 
+    from banggameengine_tpu.engine import make_multi_step_fn
+    from banggameengine_tpu.state import InputFrame
+
     built = _load_built_demo()
     cam = Camera()
     cam.position[:] = (0.0, 4.0, -10.5)
     cam.set_yaw_pitch(3.14159 / 2, -0.12)
     rfn = make_render_fn(built.render, width, height,
                          bin_capacity=2048, depth_only=depth_only)
+    # settle the sim first (CJ lands, the dense character mesh is in
+    # view): rendering the instant-0 world skips the heavy raster pass
+    # that every real interactive frame pays, flattering the number
+    settle = make_multi_step_fn(built.static, 480)
+    settled = settle(jax.tree.map(jnp.array, built.initial_state),
+                     InputFrame.zero())
+    settled = settled[0] if isinstance(settled, tuple) else settled
     args = (
-        jax.device_put(built.initial_state.world),
+        jax.device_put(settled.world),
         jax.device_put(jnp.asarray(cam.view_matrix())),
         jax.device_put(jnp.asarray(cam.proj_matrix(width / height))),
         jax.device_put(jnp.asarray(cam.position)),

@@ -52,7 +52,13 @@ def main():
     inp = jax.tree.map(jax.device_put, InputFrame.zero())
 
     rfn = make_render_fn(built.render, width, height, bin_capacity=2048)
-    world = jax.device_put(built.initial_state.world)
+    from banggameengine_tpu.engine import make_multi_step_fn
+
+    settle = make_multi_step_fn(built.static, 480)
+    settled = settle(jax.tree.map(jnp.array, built.initial_state),
+                     InputFrame.zero())
+    settled = settled[0] if isinstance(settled, tuple) else settled
+    world = jax.device_put(settled.world)
     sec = measure_throughput(rfn, world, view, proj, cam_pos, calls=15)
     print(f"render        {sec * 1e3:8.3f} ms  ({1 / sec:6.1f} fps)",
           flush=True)

@@ -32,7 +32,14 @@ def main():
     view = jax.device_put(jnp.asarray(cam.view_matrix()))
     proj = jax.device_put(jnp.asarray(cam.proj_matrix(W / H)))
     cam_pos = jax.device_put(jnp.asarray(cam.position))
-    world = jax.device_put(built.initial_state.world)
+    from banggameengine_tpu.engine import make_multi_step_fn
+    from banggameengine_tpu.state import InputFrame
+
+    settle = make_multi_step_fn(built.static, 480)
+    settled = settle(jax.tree.map(jnp.array, built.initial_state),
+                     InputFrame.zero())
+    settled = settled[0] if isinstance(settled, tuple) else settled
+    world = jax.device_put(settled.world)
 
     shaded = "--shaded" in sys.argv
     for backend in ("xla", "pallas"):
