@@ -184,10 +184,10 @@ def make_interp_render_fn(render_scene, width: int, height: int,
 
     Takes the last TWO fixed-step states plus the accumulator remainder
     ``alpha`` and renders the blended world (``engine.interpolated_world``)
-    in the SAME dispatch — a separate interpolation program would add a
-    dependent executable pair per frame (~12 ms stall on tunneled
-    runtimes).  Matches the reference rendering Bullet's interpolated
-    transforms (``PhysicsSystem.cpp:848-875``).
+    in the SAME dispatch — the blend is a few hundred FLOPs, far below
+    one dispatch's overhead as its own program.  Matches the reference
+    rendering Bullet's interpolated transforms
+    (``PhysicsSystem.cpp:848-875``).
     """
     from banggameengine_tpu.engine import interpolated_world
 

@@ -114,7 +114,14 @@ def roofline_frame(width=1920, height=1080, shade_mode=None):
         kw["shade_mode"] = shade_mode
     fn = jax.jit(functools.partial(render_frame, **kw))
     rs = jax.device_put(built.render)
-    args = (rs, jax.device_put(built.initial_state.world),
+    from banggameengine_tpu.engine import make_multi_step_fn
+    from banggameengine_tpu.state import InputFrame
+
+    settle = make_multi_step_fn(built.static, 480)
+    settled = settle(jax.tree.map(jnp.array, built.initial_state),
+                     InputFrame.zero())
+    settled = settled[0] if isinstance(settled, tuple) else settled
+    args = (rs, jax.device_put(settled.world),
             jax.device_put(jnp.asarray(cam.view_matrix())),
             jax.device_put(jnp.asarray(cam.proj_matrix(width / height))),
             jax.device_put(jnp.asarray(cam.position)))
