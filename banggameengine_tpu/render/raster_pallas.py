@@ -73,8 +73,13 @@ def _tile_kernel(tidx_ref, x_ref, y_ref, z_ref, oid_ref, cb1_ref, cb2_ref,
         # on ~9 scalar memory extracts per triangle).  Operation order and
         # associativity match the scalar version exactly (bit parity with
         # the XLA path is tested).
+        # Mosaic cannot broadcast one value across sublanes AND lanes in a
+        # single op ("Broadcast in both sublanes and lanes"), so lift each
+        # per-triangle scalar to [C,H,1] first (sublane broadcast); the
+        # arithmetic below then only ever broadcasts the lane dim.
         def col(a, j):
-            return a[:, j][:, None, None]           # [C,1,1]
+            v = a[:, j][:, None, None]              # [C,1,1]
+            return jnp.broadcast_to(v, (chunk, TILE_H, 1))
 
         x0, x1, x2 = col(x, 0), col(x, 1), col(x, 2)
         y0, y1, y2 = col(y, 0), col(y, 1), col(y, 2)
@@ -94,17 +99,20 @@ def _tile_kernel(tidx_ref, x_ref, y_ref, z_ref, oid_ref, cb1_ref, cb2_ref,
         w2 = e0 * inv_area
         w0 = 1.0 - w1 - w2
         depth = w0 * col(zz, 0) + w1 * col(zz, 1) + w2 * col(zz, 2)
-        okb = (okc != 0)[:, None, None]
+        okb = jnp.broadcast_to(
+            (okc != 0)[:, None, None], (chunk, TILE_H, 1))
         ok_all = cover & okb & (depth >= 0.0) & (depth <= 1.0)
         ob1 = w0 * col(cb1, 0) + w1 * col(cb1, 1) + w2 * col(cb1, 2)
         ob2 = w0 * col(cb2, 0) + w1 * col(cb2, 1) + w2 * col(cb2, 2)
-        oidb = oid[:, None, None]                   # [C,1,1] int32
 
         for c in range(chunk):                      # select chain only
             better = ok_all[c] & (depth[c] < zbuf)
             zbuf = jnp.where(better, depth[c], zbuf)
-            tid = jnp.where(better, jnp.broadcast_to(oidb[c], tid.shape),
-                            tid)
+            # oid[c] as a 0-d SCALAR: a scalar splat is the one broadcast
+            # Mosaic allows across both tiled dims (a sliced [H,1] int
+            # plane canonicalizes back into an illegal 2-dim
+            # broadcast_in_dim); one scalar extract per triangle is noise
+            tid = jnp.where(better, jnp.full_like(tid, oid[c]), tid)
             b1b = jnp.where(better, ob1[c], b1b)
             b2b = jnp.where(better, ob2[c], b2b)
             slotb = jnp.where(better, base + c, slotb)

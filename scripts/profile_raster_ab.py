@@ -42,13 +42,29 @@ def main():
     world = jax.device_put(settled.world)
 
     shaded = "--shaded" in sys.argv
+    chunk = int(os.environ.get("AB_CHUNK", "0"))
     for backend in ("xla", "pallas"):
+        kw = {}
+        if chunk and backend == "pallas":
+            import functools as _ft
+
+            import banggameengine_tpu.render.raster as _rz
+            from banggameengine_tpu.render.pipeline import render_frame
+            fn0 = jax.jit(_ft.partial(
+                render_frame, width=W, height=H, bin_capacity=2048,
+                depth_only=not shaded, raster_backend=backend))
+            _orig = _rz.rasterize
+            def _patched(*a, **k):
+                k["chunk"] = chunk
+                return _orig(*a, **k)
+            _rz.rasterize = _patched
         fn = make_render_fn(
             built.render, W, H, bin_capacity=2048,
             depth_only=not shaded, raster_backend=backend)
         sec = measure_throughput(fn, world, view, proj, cam_pos, calls=15)
         kind = "shaded" if shaded else "depth"
-        print(f"{kind} {backend:6s} {sec*1e3:8.3f} ms  ({1/sec:6.1f} fps)",
+        tag = f"{backend}/c{chunk}" if (chunk and backend == "pallas") else backend
+        print(f"{kind} {tag:10s} {sec*1e3:8.3f} ms  ({1/sec:6.1f} fps)",
               flush=True)
 
 

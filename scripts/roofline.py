@@ -18,7 +18,10 @@ Usage: python scripts/roofline.py [manyworld|stress|frame|demo] ...
 
 from __future__ import annotations
 
+import os
 import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 HBM_BPS = 819e9
 MXU_F32 = 49e12
