@@ -154,7 +154,9 @@ def make_multi_step_fn(
 
     jfn = jax.jit(run, donate_argnums=(0,))
     static = jax.device_put(static)
-    return lambda state, inp: jfn(state, inp, static)
+    step = lambda state, inp: jfn(state, inp, static)
+    step.jitted, step.bound_static = jfn, static   # for roofline/AOT tools
+    return step
 
 
 def make_step_fn_with_events(
@@ -179,4 +181,6 @@ def make_step_fn_with_events(
 
     jfn = jax.jit(run, donate_argnums=(0,))
     static = jax.device_put(static)
-    return lambda state, inp: jfn(state, inp, static)
+    step = lambda state, inp: jfn(state, inp, static)
+    step.jitted, step.bound_static = jfn, static   # for roofline/AOT tools
+    return step

@@ -115,4 +115,6 @@ def make_sharded_many_world_step(
     # round-trip per dispatch on tunneled runtimes.
     jfn = jax.jit(run, donate_argnums=(0,))
     static = jax.device_put(static)
-    return lambda bstate, binp: jfn(bstate, binp, static)
+    step = lambda bstate, binp: jfn(bstate, binp, static)
+    step.jitted, step.bound_static = jfn, static   # for roofline/AOT tools
+    return step

@@ -364,7 +364,11 @@ def _raster_tile(tile_x0, tile_y0, g_x, g_y, g_z, g_oid, g_cb, g_ok,
     )
     data = (jnp.arange(n_chunks, dtype=jnp.int32) * chunk,
             ch(g_x), ch(g_y), ch(g_z), ch(g_oid), ch(g_cb), ch(g_ok))
-    (zbuf, tid, b1b, b2b, slotb), _ = jax.lax.scan(chunk_body, init, data)
+    # unroll=2: the scan carries five [tiles,32,128] planes through HBM
+    # every iteration (~84 MB r+w at 1080p); unrolling halves the
+    # round-trips by keeping the carry live across the fused pair
+    (zbuf, tid, b1b, b2b, slotb), _ = jax.lax.scan(
+        chunk_body, init, data, unroll=2)
     zbuf = jnp.where(jnp.isfinite(zbuf), zbuf, 1.0)
     return zbuf, tid, b1b, b2b, slotb
 

@@ -332,8 +332,6 @@ def shade_visibility(
     h, w = vis_tri_id.shape
     p = h * w
     tid = jnp.maximum(vis_tri_id, 0).reshape(p)
-    b1 = vis_b1.reshape(p)
-    b2 = vis_b2.reshape(p)
 
     reconstruct_wp = (vis_depth is not None and view is not None
                       and proj is not None)
@@ -349,21 +347,27 @@ def shade_visibility(
         tri_row_t.at[:, tid].get(
             mode="promise_in_bounds"))                 # [C, P] ONE gather
 
-    pxc = jax.lax.broadcasted_iota(jnp.float32, (h, w), 1).reshape(p) + 0.5
-    pyc = jax.lax.broadcasted_iota(jnp.float32, (h, w), 0).reshape(p) + 0.5
-    ndc_z = vis_depth.reshape(p) if reconstruct_wp else None
-    background = vis_tri_id.reshape(p) < 0
+    # shade on [H, W] PLANES, not flat [P] rows: a [1, P]-shaped channel
+    # is laid out T(1,128) — one of eight sublanes — and every consumer
+    # fusion inherits the 8x-slower layout (HLO trace round 3).  The
+    # [C, P] -> [C, H, W] reshape is a free bitcast.
+    a3 = a.reshape(a.shape[0], h, w)
+
+    pxc = jax.lax.broadcasted_iota(jnp.float32, (h, w), 1) + 0.5
+    pyc = jax.lax.broadcasted_iota(jnp.float32, (h, w), 0) + 0.5
+    ndc_z = vis_depth if reconstruct_wp else None
+    background = vis_tri_id < 0
 
     rgb_r, rgb_g, rgb_b, alpha = _shade_core(
-        lambda c: a[c], b1, b2, pxc, pyc, ndc_z, background, layout,
-        reconstruct_wp, w, h, view, proj,
+        lambda c: a3[c], vis_b1, vis_b2, pxc, pyc, ndc_z, background,
+        layout, reconstruct_wp, w, h, view, proj,
         textures, textures_quad, textures_quad_t,
         camera_pos, light, wireframe)
 
-    # single interleave at the very end: [4, P] -> [H, W, 4]
+    # single interleave at the very end: [4, H, W] -> [H, W, 4]
     out = jnp.stack([_to_u8(rgb_r), _to_u8(rgb_g), _to_u8(rgb_b),
                      _to_u8(alpha)])
-    return out.T.reshape(h, w, 4)
+    return jnp.transpose(out, (1, 2, 0))
 
 
 def _resolve_pallas_cached(slot_p, tables_t, interpret):
@@ -520,14 +524,21 @@ def _sample_bilinear_planar(textures, textures_quad, textures_quad_t,
         s = textures.shape[1]
         x0i = wrap(x0, tw)
         y0i = wrap(y0, th)
-        flat = (tex_id * s + y0i) * s + x0i
+        # barrier the INDEX itself: without it XLA fuses the whole
+        # mod/mul-add chain into the gather's index-prep loop, which runs
+        # in the gather's s32[P,1] T(1,128) layout — 1 of 8 sublanes used,
+        # ~2 ms of the 1080p frame for ~6 integer passes (HLO trace).
+        # Computed standalone it runs in T(8,128) and only the final
+        # layout copy pays the narrow format.
+        flat = jax.lax.optimization_barrier(
+            ((tex_id * s + y0i) * s + x0i).reshape(-1))
         # gather with a FLAT index vector (multi-dim index arrays lower to
         # a slower gather); reshape the planar result back
         # promise_in_bounds: flat < T*S*S by the wrap mods above
         q = jax.lax.optimization_barrier(
-            textures_quad_t.at[:, flat.reshape(-1)].get(
+            textures_quad_t.at[:, flat].get(
                 mode="promise_in_bounds")
-        ).reshape((16,) + flat.shape)                    # [16, ...] u8
+        ).reshape((16,) + x0i.shape)                     # [16, ...] u8
 
         def channel(c):
             c00 = q[c].astype(jnp.float32)

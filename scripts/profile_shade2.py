@@ -53,7 +53,14 @@ def main():
     view = jax.device_put(jnp.asarray(cam.view_matrix()))
     proj = jax.device_put(jnp.asarray(cam.proj_matrix(width / height)))
     cam_pos = jax.device_put(jnp.asarray(cam.position))
-    world = jax.device_put(built.initial_state.world)
+    from banggameengine_tpu.engine import make_multi_step_fn
+    from banggameengine_tpu.state import InputFrame
+
+    settle = make_multi_step_fn(built.static, 480)
+    settled = settle(jax.tree.map(jnp.array, built.initial_state),
+                     InputFrame.zero())
+    settled = settled[0] if isinstance(settled, tuple) else settled
+    world = jax.device_put(settled.world)
 
     def make_frame(mode, resolve="xla"):
         import functools
@@ -97,6 +104,7 @@ def main():
         return resolved.sum((0, 2))
 
     timeit("frame_tiled", make_frame("tiled"), rs, world)
+    timeit("tiled_pallas", make_frame("tiled", resolve="pallas"), rs, world)
     timeit("frame_gather", make_frame("gather"), rs, world)
 
 

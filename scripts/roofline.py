@@ -70,8 +70,9 @@ def roofline_manyworld(num_worlds=1000, bodies=8, steps=50):
     bstate = shard_batched(replicate_state(state, num_worlds), mesh)
     binp = shard_batched(replicate_input(InputFrame.zero(), num_worlds), mesh)
     step = make_sharded_many_world_step(static, mesh, num_steps=steps)
-    t, _ = measure_throughput_chained(step, bstate, binp, calls=5, warmup=2)
-    compiled = step.lower(bstate, binp).compile()
+    t, bstate = measure_throughput_chained(step, bstate, binp,
+                                           calls=5, warmup=2)
+    compiled = step.jitted.lower(bstate, binp, step.bound_static).compile()
     # divide by steps: per single lockstep step of all worlds
     return report(f"manyworld {num_worlds}x{bodies}+char+trig (per lockstep "
                   "step)", compiled, t, per_call_divisor=steps)
@@ -89,8 +90,8 @@ def roofline_stress(num_bodies=10000, steps=50):
     run = make_multi_step_fn(static, steps, broadphase="pallas",
                              max_neighbors=8)
     inp = InputFrame.zero()
-    t, _ = measure_throughput_chained(run, state, inp, calls=4, warmup=2)
-    compiled = run.lower(state, inp).compile()
+    t, state = measure_throughput_chained(run, state, inp, calls=4, warmup=2)
+    compiled = run.jitted.lower(state, inp, run.bound_static).compile()
     return report(f"stress {num_bodies} boxes (per step)", compiled, t,
                   per_call_divisor=steps)
 
@@ -146,8 +147,8 @@ def roofline_demo(steps=100):
     state, static = _load_demo_scene()
     run = make_multi_step_fn(static, steps)
     inp = InputFrame.zero()
-    t, _ = measure_throughput_chained(run, state, inp, calls=5, warmup=2)
-    compiled = run.lower(state, inp).compile()
+    t, state = measure_throughput_chained(run, state, inp, calls=5, warmup=2)
+    compiled = run.jitted.lower(state, inp, run.bound_static).compile()
     return report("demo scene (per engine step)", compiled, t,
                   per_call_divisor=steps)
 
