@@ -116,7 +116,13 @@ def render_frame(
             rs.mat_spec_color, rs.mat_tex,
             rs.textures, rs.tex_size,
             camera_pos, light, view, proj,
-            shade_slots=rz.K_GLOBAL + 48,  # == the light raster list
+            # pallas resolve covers the HEAVY slot space too (no
+            # per-frame row-gather fallback; the one-hot lives in VMEM so
+            # a wider KL costs only MXU flops); the XLA resolve would
+            # materialize [tiles, px, KL] through HBM, so it keeps the
+            # light-list width and falls back for heavy winners
+            shade_slots=rz.K_GLOBAL + (
+                256 if resolve_backend.startswith("pallas") else 48),
             resolve_backend=resolve_backend,
             wireframe=wireframe,
             textures_quad=getattr(rs, "textures_quad", None),

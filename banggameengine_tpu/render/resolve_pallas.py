@@ -28,15 +28,17 @@ from jax.experimental.pallas import tpu as pltpu
 
 Array = jax.Array
 
-KL_PAD = 128   # one-hot rows (contraction dim); covers shade_slots <= 128
+def _kl_pad(kl: int) -> int:
+    """One-hot row count (contraction dim), padded to the 128-lane tile."""
+    return max(128, -(-kl // 128) * 128)
 
 
-def _resolve_kernel(slot_ref, table_ref, out_ref):
-    """One tile: build onehot [KL_PAD, px] in VMEM, contract, write
+def _resolve_kernel(slot_ref, table_ref, out_ref, *, kl_pad: int):
+    """One tile: build onehot [kl_pad, px] in VMEM, contract, write
     [C_pad, px]."""
     slots = slot_ref[0, 0, :]                        # i32[px] lane vector
     kl_iota = jax.lax.broadcasted_iota(
-        jnp.int32, (KL_PAD, slots.shape[0]), 0)
+        jnp.int32, (kl_pad, slots.shape[0]), 0)
     oh = (kl_iota == slots[None, :]).astype(jnp.float32)   # [KL_PAD, px]
     out_ref[:, :] = jnp.dot(
         table_ref[0], oh, preferred_element_type=jnp.float32)
@@ -52,21 +54,24 @@ def resolve_tiles_pallas(
     c = tables_t.shape[1]
     kl = tables_t.shape[2]
     c_pad = -(-c // 8) * 8
-    tab = jnp.zeros((n_tiles, c_pad, KL_PAD), jnp.float32)
+    kl_pad = _kl_pad(kl)
+    tab = jnp.zeros((n_tiles, c_pad, kl_pad), jnp.float32)
     tab = tab.at[:, :c, :kl].set(tables_t)
 
     # output is 2-D [C_pad, tiles*px] with a (C_pad, px) block per tile —
     # Mosaic requires the last two block dims to be (8, 128)-divisible,
     # which a [C_pad, 1, px] 3-D block is not; callers reshape channel
     # rows back to [tiles, px] (a free row-major split)
+    import functools
+
     out = pl.pallas_call(
-        _resolve_kernel,
+        functools.partial(_resolve_kernel, kl_pad=kl_pad),
         out_shape=jax.ShapeDtypeStruct((c_pad, n_tiles * px), jnp.float32),
         grid=(n_tiles,),
         in_specs=[
             pl.BlockSpec((1, 1, px), lambda t: (t, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, c_pad, KL_PAD), lambda t: (t, 0, 0),
+            pl.BlockSpec((1, c_pad, kl_pad), lambda t: (t, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((c_pad, px), lambda t: (0, t),
