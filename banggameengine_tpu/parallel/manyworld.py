@@ -73,6 +73,7 @@ def make_sharded_many_world_step(
     num_steps: int = 1,
     solver_iterations: int = 10,
     with_metrics: bool = False,
+    world_minor: bool = False,
     **physics_kwargs,
 ):
     """Build the jitted sharded lockstep-many-worlds step.
@@ -82,19 +83,29 @@ def make_sharded_many_world_step(
     leading world axis, which is sharded across the mesh.  ``num_steps > 1``
     folds a ``lax.scan`` inside the single dispatch (driver config #5:
     1k worlds stepped in lockstep).
+
+    ``world_minor=True`` vmaps over the LAST axis instead of the first.
+    Measured NEUTRAL on-chip (20.3k either way): JAX's batching rules
+    canonicalize the batch dim back to axis 0 inside most primitives, so
+    in_axes only moves the boundary transposes.  Kept for experiments;
+    the real lane-density fix is :func:`make_flat_many_world_step`.
     """
     mesh = mesh or make_world_mesh()
 
     from banggameengine_tpu.physics.step import scene_census
 
     kwargs = {**scene_census(static), **physics_kwargs}
+    ax = -1 if world_minor else 0
     vstep = jax.vmap(
         lambda s, i, st: engine_step(s, i, st, solver_iterations,
                                      **kwargs)[0],
-        in_axes=(0, 0, None),
+        in_axes=(ax, ax, None), out_axes=ax,
     )
 
     def run(bstate, binp, st):
+        if world_minor:
+            bstate = jax.tree.map(lambda a: jnp.moveaxis(a, 0, -1), bstate)
+            binp = jax.tree.map(lambda a: jnp.moveaxis(a, 0, -1), binp)
         if num_steps == 1:
             out = vstep(bstate, binp, st)
         else:
@@ -103,6 +114,8 @@ def make_sharded_many_world_step(
 
             out, _ = jax.lax.scan(body, bstate, None, length=num_steps,
                                   unroll=2)
+        if world_minor:
+            out = jax.tree.map(lambda a: jnp.moveaxis(a, -1, 0), out)
         if with_metrics:
             m = world_metrics(out)
             metrics = {k: jnp.mean(v) for k, v in m.items()}  # ICI reduce
@@ -117,4 +130,205 @@ def make_sharded_many_world_step(
     static = jax.device_put(static)
     step = lambda bstate, binp: jfn(bstate, binp, static)
     step.jitted, step.bound_static = jfn, static   # for roofline/AOT tools
+    return step
+
+
+# ---------------------------------------------------------------------------
+# Flat block-diagonal many-world: one big world, static neighbor structure
+# ---------------------------------------------------------------------------
+
+def _flat_static(static: StaticScene, num_worlds: int,
+                 comp_mask_1w: np.ndarray):
+    """Tile one world's StaticScene into a [W*B]-entity block-diagonal
+    scene + the static intra-world neighbor lists and the per-entity world
+    group ids.  Host-side (numpy): runs once per factory call.
+
+    The per-world batched path (vmap over a leading world axis) leaves
+    every contact tensor [W,B,C,3]-minor — ~40x lane padding on the
+    (8,128) tile.  Flattened, the whole contact phase runs through the
+    transposed component-form pipeline (:mod:`physics.contact_t`) with the
+    W*B body axis on the lanes.  Neighbors never cross world blocks, so
+    no broadphase runs at all.
+    """
+    import dataclasses
+
+    from banggameengine_tpu.state import (
+        COMP_CHARACTER, COMP_COLLIDER, SHAPE_BOX,
+    )
+
+    w = num_worlds
+    b = int(static.parent.shape[0])
+    n = w * b
+    par = np.asarray(static.parent)
+    if (par >= 0).any():
+        raise ValueError(
+            "flat many-world requires flat hierarchies (parent == -1)")
+
+    def tile_ent(a):
+        a = np.asarray(a)
+        return np.tile(a, (w,) + (1,) * (a.ndim - 1))
+
+    offs = (np.arange(w, dtype=np.int32) * b)
+
+    def off_slots(ent):
+        ent = np.asarray(ent)
+        out = ent[None, :] + np.where(ent[None, :] >= 0, offs[:, None], 0)
+        return out.reshape(-1).astype(np.int32)
+
+    def tile_slots(a):
+        a = np.asarray(a)
+        return np.tile(a, (w,) + (1,) * (a.ndim - 1))
+
+    flat = dataclasses.replace(
+        static,
+        parent=jnp.full((n,), -1, jnp.int32),
+        level_nodes=jnp.arange(n, dtype=jnp.int32)[None, :],
+        body_type=jnp.asarray(tile_ent(static.body_type)),
+        shape_type=jnp.asarray(tile_ent(static.shape_type)),
+        shape_size=jnp.asarray(tile_ent(static.shape_size)),
+        inv_mass=jnp.asarray(tile_ent(static.inv_mass)),
+        inv_inertia_body=jnp.asarray(tile_ent(static.inv_inertia_body)),
+        friction=jnp.asarray(tile_ent(static.friction)),
+        restitution=jnp.asarray(tile_ent(static.restitution)),
+        layer=jnp.asarray(tile_ent(static.layer)),
+        mask=jnp.asarray(tile_ent(static.mask)),
+        trig_entity=jnp.asarray(off_slots(static.trig_entity)),
+        trig_shape=jnp.asarray(tile_slots(static.trig_shape)),
+        trig_size=jnp.asarray(tile_slots(static.trig_size)),
+        trig_layer=jnp.asarray(tile_slots(static.trig_layer)),
+        trig_mask=jnp.asarray(tile_slots(static.trig_mask)),
+        trig_one_shot=jnp.asarray(tile_slots(static.trig_one_shot)),
+        char_entity=jnp.asarray(off_slots(static.char_entity)),
+        char_radius=jnp.asarray(tile_slots(static.char_radius)),
+        char_half_height=jnp.asarray(tile_slots(static.char_half_height)),
+        char_walk_speed=jnp.asarray(tile_slots(static.char_walk_speed)),
+        char_jump_impulse=jnp.asarray(tile_slots(static.char_jump_impulse)),
+    )
+
+    # solid boxes of one world (the only bodies the contact pipeline sees)
+    ce = np.asarray(static.char_entity)
+    is_char = np.zeros(b, bool)
+    is_char[ce[ce >= 0]] = True
+    solid = (
+        ((comp_mask_1w & COMP_COLLIDER) != 0)
+        & (np.asarray(static.shape_type) == SHAPE_BOX)
+        & ~is_char
+    )
+    sol = np.where(solid)[0]
+    k = max(int(len(sol)) - 1, 1)
+    loc_idx = np.zeros((b, k), np.int32)
+    loc_val = np.zeros((b, k), bool)
+    for i in sol:
+        others = [j for j in sol if j != i]
+        loc_idx[i, :len(others)] = others
+        loc_val[i, :len(others)] = True
+    nb_idx = (loc_idx[None] + offs[:, None, None]).reshape(n, k)
+    nb_val = np.tile(loc_val, (w, 1))
+    group = np.repeat(np.arange(w, dtype=np.int32), b)
+    # char slot w's obstacle candidates = its own world's entity block
+    char_cand = (offs[:, None] + np.arange(b, dtype=np.int32)[None, :])
+    return (flat, jnp.asarray(nb_idx), jnp.asarray(nb_val),
+            jnp.asarray(group), jnp.asarray(char_cand))
+
+
+def make_flat_many_world_step(
+    static: StaticScene,
+    num_worlds: int,
+    comp_mask_1w,
+    num_steps: int = 1,
+    solver_iterations: int = 10,
+    **physics_kwargs,
+):
+    """Flat block-diagonal lockstep many-worlds step.
+
+    Same interface as :func:`make_sharded_many_world_step` —
+    ``step(batched_state [W,B,...], batched_input [W]) -> batched_state``
+    — but internally the W worlds run as ONE flat world of W*B entities
+    through the transposed contact pipeline with STATIC intra-world
+    neighbor lists (``physics_step(broadphase="static")``).  Per-world
+    semantics are preserved: characters read their own world's input row
+    (slot w = world w), and characters/triggers are group-masked to their
+    world block.  ``comp_mask_1w`` is one world's host-side component mask
+    (used to find the solid boxes at build time).
+    """
+    from banggameengine_tpu.physics.step import scene_census
+
+    flat_static, nb_idx, nb_val, group, char_cand = _flat_static(
+        static, num_worlds, np.asarray(comp_mask_1w))
+    census = scene_census(static)
+    kwargs = {**census, **physics_kwargs}
+    kwargs.update(broadphase="static", enable_capsule=False)
+    w = num_worlds
+    t1 = int(static.trig_entity.shape[0])   # trigger slots per world
+
+    def vstep(fs, binp, st, nb, nv, grp, cc):
+        s2, _ev = engine_step(fs, binp, st, solver_iterations,
+                              static_neighbors=(nb, nv), group=grp,
+                              char_candidates=cc, **kwargs)
+        return s2
+
+    def run(bstate, binp, st, nb, nv, grp, cc):
+        b = bstate.alive.shape[1]
+        n = w * b
+        di = jnp.arange(w)
+
+        def flatten(s):
+            f = {}
+            for name in ("alive", "comp_mask", "pos", "quat", "scale",
+                         "world", "lin_vel", "ang_vel", "char_vel_y",
+                         "char_on_ground", "contact_feat", "contact_imp"):
+                a = getattr(s, name)
+                f[name] = a.reshape((n,) + a.shape[2:])
+            ov = jnp.zeros((w, t1, w, b), bool)
+            ov = ov.at[di, :, di, :].set(s.trigger_overlap)
+            f["trigger_overlap"] = ov.reshape(w * t1, n)
+            f["trigger_active"] = s.trigger_active.reshape(w * t1)
+            # contact features encode per-world partner ids; the flat
+            # pipeline re-derives them in flat id space — reset (one-step
+            # warm-start miss on entry)
+            f["contact_feat"] = jnp.full_like(f["contact_feat"], -1)
+            f["contact_imp"] = jnp.zeros_like(f["contact_imp"])
+            # lockstep: every world shares the clock
+            f["time"] = s.time[0]
+            f["step_idx"] = s.step_idx[0]
+            return WorldState(**f)
+
+        def unflatten(fs, template):
+            f = {}
+            for name in ("alive", "comp_mask", "pos", "quat", "scale",
+                         "world", "lin_vel", "ang_vel", "char_vel_y",
+                         "char_on_ground", "contact_feat", "contact_imp"):
+                a = getattr(fs, name)
+                f[name] = a.reshape((w, b) + a.shape[1:])
+            ov = fs.trigger_overlap.reshape(w, t1, w, b)
+            f["trigger_overlap"] = ov[di, :, di, :].reshape(w, t1, b)
+            f["trigger_active"] = fs.trigger_active.reshape(w, t1)
+            # back to per-world cache space: reset (same one-step miss)
+            f["contact_feat"] = jnp.full_like(f["contact_feat"], -1)
+            f["contact_imp"] = jnp.zeros_like(f["contact_imp"])
+            f["time"] = jnp.broadcast_to(fs.time, (w,))
+            f["step_idx"] = jnp.broadcast_to(fs.step_idx, (w,))
+            return WorldState(**f)
+
+        fs = flatten(bstate)
+        if num_steps == 1:
+            fs = vstep(fs, binp, st, nb, nv, grp, cc)
+        else:
+            def body(carry, _):
+                return vstep(carry, binp, st, nb, nv, grp, cc), None
+
+            fs, _ = jax.lax.scan(body, fs, None, length=num_steps,
+                                 unroll=2)
+        return unflatten(fs, bstate)
+
+    jfn = jax.jit(run, donate_argnums=(0,))
+    st = jax.device_put(flat_static)
+    nb_idx = jax.device_put(nb_idx)
+    nb_val = jax.device_put(nb_val)
+    group = jax.device_put(group)
+    char_cand = jax.device_put(char_cand)
+    step = lambda bstate, binp: jfn(bstate, binp, st, nb_idx, nb_val,
+                                    group, char_cand)
+    step.jitted = jfn
+    step.bound_static = (st, nb_idx, nb_val, group, char_cand)
     return step

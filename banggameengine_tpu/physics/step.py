@@ -88,6 +88,9 @@ def physics_step(
     enable_capsule: bool | None = None,
     any_trig: bool | None = None,
     warm_start: bool = True,
+    group: "Array | None" = None,
+    static_neighbors: "tuple | None" = None,
+    char_candidates: "Array | None" = None,
 ) -> tuple[WorldState, StepEvents]:
     dt = static.fixed_dt
     n = state.capacity
@@ -133,24 +136,53 @@ def physics_step(
 
     obstacle_base = alive & has_collider
 
-    def one_char(slot):
+    def one_char(slot, view_pos, view_quat, view_st, view_sz, view_ok):
         ce = safe_ce[slot]
-        obstacle = obstacle_base & (jnp.arange(n) != ce)
+
+        def per_slot(v):
+            # per-slot input vectors (flat many-world: slot w = world w)
+            v = jnp.asarray(v)
+            return v[slot] if v.ndim else v
+
         new_c, new_vy, new_g = chr_mod.step_character(
             pos[ce],
             state.char_vel_y[ce],
             state.char_on_ground[ce],
             static.char_radius[slot], static.char_half_height[slot],
             static.char_walk_speed[slot], static.char_jump_impulse[slot],
-            inp.move_forward, inp.move_right, inp.jump, inp.sprint, inp.cam_yaw,
-            pos, quat, static.shape_type, static.shape_size, obstacle,
+            per_slot(inp.move_forward), per_slot(inp.move_right),
+            per_slot(inp.jump), per_slot(inp.sprint), per_slot(inp.cam_yaw),
+            view_pos, view_quat, view_st, view_sz, view_ok,
             static.gravity, dt, static.step_height, static.max_slope_cos,
         )
         return new_c, new_vy, new_g
 
     if any_char:
-        new_centers, new_vys, new_grounds = jax.vmap(one_char)(
-            jnp.arange(c_slots))
+        if char_candidates is not None:
+            # static per-slot obstacle candidates (flat many-world: each
+            # character only ever meets its own world's entities) — the
+            # full capsule-vs-N sweep would build [C, N, 3]-minor
+            # intermediates that pad 42x on the (8,128) tile
+            cand = char_candidates                       # i32[C, K]
+            ob_c = obstacle_base[cand] & (cand != safe_ce[:, None])
+            if group is not None:
+                ob_c = ob_c & (group[cand] == group[safe_ce][:, None])
+            new_centers, new_vys, new_grounds = jax.vmap(one_char)(
+                jnp.arange(c_slots), pos[cand], quat[cand],
+                static.shape_type[cand], static.shape_size[cand], ob_c)
+        else:
+            def full_view(slot):
+                ce = safe_ce[slot]
+                obstacle = obstacle_base & (jnp.arange(n) != ce)
+                if group is not None:
+                    # block-diagonal multi-world scene: characters only
+                    # collide with their own world's entities
+                    obstacle = obstacle & (group == group[ce])
+                return one_char(slot, pos, quat, static.shape_type,
+                                static.shape_size, obstacle)
+
+            new_centers, new_vys, new_grounds = jax.vmap(full_view)(
+                jnp.arange(c_slots))
         char_valid = (char_ent >= 0) & alive[safe_ce]
 
         pos = pos.at[safe_ce].set(
@@ -312,6 +344,84 @@ def physics_step(
                             alive, has_collider, trigger_mode, dt, any_trig,
                             contact_cache=contact_cache,
                             contact_overflow=contact_overflow)
+    if broadphase == "static":
+        # Block-diagonal multi-world path (flat many-world lockstep): the
+        # neighbor structure is KNOWN AT BUILD TIME (bodies only ever
+        # collide within their own world block), so there is no broadphase
+        # at all — the precomputed intra-world all-pairs lists feed the
+        # transposed component-form contact pipeline directly, in original
+        # id order (no Morton sort: world blocks are already contiguous).
+        # Every [slots, N] intermediate puts the flat body axis on the
+        # 128-lane dim, where the per-world dense path wastes ~40x of every
+        # tile on [W,B,C,3]-minor shapes.
+        if enable_capsule:
+            raise ValueError(
+                "broadphase='static' is the box-only block-diagonal "
+                "pipeline; this scene has solid capsules")
+        if static_neighbors is None:
+            raise ValueError(
+                "broadphase='static' requires static_neighbors=(idx, valid)")
+        from banggameengine_tpu.physics import contact_t
+
+        nb_idx, nb_valid = static_neighbors
+        nb_ok = nb_valid & solid[nb_idx] & solid[:, None] \
+            & alive[nb_idx] & alive[:, None]
+        ground_ok = is_dynamic & solid & jnp.asarray(static.ground_enabled)
+        half = static.shape_size
+        if warm_start:
+            (c_prt, c_ptx, c_pty, c_ptz, c_nx, c_ny, c_nz, c_dep, c_valid,
+             contact_overflow, c_feat) = contact_t.box_contacts_t(
+                pos, quat, half, nb_idx, nb_ok, ground_ok,
+                budget=CONTACT_BUDGET,
+                orig_id=jnp.arange(n, dtype=jnp.int32),
+            )
+            cache_feat = state.contact_feat.T             # [CB, N]
+            cache_imp = jnp.transpose(state.contact_imp, (1, 2, 0))
+            eq = (
+                (c_feat[:, None, :] == cache_feat[None, :, :])
+                & (c_feat >= 0)[:, None, :]
+            ).astype(jnp.float32)                         # [C, CB, N]
+            warm = tuple(
+                jnp.einsum("cdn,dn->cn", eq, cache_imp[:, i, :])
+                for i in range(3)
+            )
+            vel, ang, (ln, lt1, lt2) = contact_t.solve_contacts_t(
+                vel, ang, pos, quat, static.inv_mass,
+                static.inv_inertia_body,
+                c_prt, c_ptx, c_pty, c_ptz, c_nx, c_ny, c_nz, c_dep,
+                c_valid, static.friction, static.restitution, dt,
+                iterations=solver_iterations,
+                ground_friction=GROUND_FRICTION,
+                warm=warm, return_lambdas=True,
+            )
+            imp = jnp.where(
+                c_valid.T[..., None],
+                jnp.stack([ln.T, lt1.T, lt2.T], axis=-1), 0.0)  # [N, C, 3]
+            contact_cache = (
+                jnp.where(c_valid, c_feat, -1).T,               # [N, C]
+                imp,
+            )
+        else:
+            (c_prt, c_ptx, c_pty, c_ptz, c_nx, c_ny, c_nz, c_dep, c_valid,
+             contact_overflow) = contact_t.box_contacts_t(
+                pos, quat, half, nb_idx, nb_ok, ground_ok,
+                budget=CONTACT_BUDGET,
+            )
+            vel, ang = contact_t.solve_contacts_t(
+                vel, ang, pos, quat, static.inv_mass,
+                static.inv_inertia_body,
+                c_prt, c_ptx, c_pty, c_ptz, c_nx, c_ny, c_nz, c_dep,
+                c_valid, static.friction, static.restitution, dt,
+                iterations=solver_iterations,
+                ground_friction=GROUND_FRICTION,
+            )
+            contact_cache = None
+        return _finish_step(state, static, pos, quat, vel, ang,
+                            char_vel_y, char_on_ground, is_dynamic, moving,
+                            alive, has_collider, trigger_mode, dt, any_trig,
+                            contact_cache=contact_cache,
+                            contact_overflow=contact_overflow,
+                            group=group)
     if broadphase == "dense":
         from banggameengine_tpu.physics.broadphase import (
             build_neighbor_lists_dense,
@@ -448,7 +558,8 @@ def _finish_step(state, static, pos, quat, vel, ang, char_vel_y,
                  trigger_mode, dt,
                  any_trig=None,
                  contact_cache=None,
-                 contact_overflow=None) -> tuple[WorldState, StepEvents]:
+                 contact_overflow=None,
+                 group=None) -> tuple[WorldState, StepEvents]:
     """Shared step tail: integrate, triggers, state assembly."""
     # semi-implicit Euler integrate dynamic AND kinematic bodies (kinematic
     # velocity is host-driven and persists across steps until changed)
@@ -484,6 +595,12 @@ def _finish_step(state, static, pos, quat, vel, ang, char_vel_y,
             pos, quat, static.shape_type, static.shape_size,
             static.layer, static.mask, alive, has_collider,
         )
+        if group is not None:
+            # block-diagonal multi-world scene: a trigger only sees its
+            # own world's entities
+            safe_te = jnp.where(static.trig_entity >= 0,
+                                static.trig_entity, 0)
+            overlap = overlap & (group[safe_te][:, None] == group[None, :])
     else:
         overlap = jnp.zeros_like(state.trigger_overlap)
     enter, stay, exit_, new_overlap, new_active = tg.diff_events(

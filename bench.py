@@ -33,14 +33,17 @@ def _time_dispatches(fn, args, *, warmup=2, reps=10):
     return t, fn(*args)
 
 
-def bench_manyworld(num_worlds=1000, bodies_per_world=8, steps_per_dispatch=50):
+def bench_manyworld(num_worlds=1000, bodies_per_world=8, steps_per_dispatch=50,
+                    layout="flat"):
     import jax
 
     from banggameengine_tpu.parallel import (
         make_sharded_many_world_step, make_world_mesh,
         replicate_input, replicate_state,
     )
-    from banggameengine_tpu.parallel.manyworld import shard_batched
+    from banggameengine_tpu.parallel.manyworld import (
+        make_flat_many_world_step, shard_batched,
+    )
     from banggameengine_tpu.scene.synthetic import build_falling_boxes
     from banggameengine_tpu.state import InputFrame
 
@@ -51,15 +54,36 @@ def bench_manyworld(num_worlds=1000, bodies_per_world=8, steps_per_dispatch=50):
     mesh = make_world_mesh()
     bstate = shard_batched(replicate_state(state, num_worlds), mesh)
     binp = shard_batched(replicate_input(InputFrame.zero(), num_worlds), mesh)
+    def measure(step, bstate_):
+        from banggameengine_tpu.utils.profiling import (
+            measure_throughput_chained,
+        )
+
+        t_total, _ = measure_throughput_chained(step, bstate_, binp,
+                                                calls=5, warmup=2)
+        return num_worlds * steps_per_dispatch / t_total
+
+    best = 0.0
+    if layout in ("flat", "both") and len(jax.devices()) == 1:
+        # block-diagonal flat world through the transposed contact
+        # pipeline (parity-tested vs the vmapped path at 2e-4/25 steps);
+        # falls back to the vmapped path on any compile/run failure
+        try:
+            flat = make_flat_many_world_step(
+                static, num_worlds, state.comp_mask,
+                num_steps=steps_per_dispatch,
+            )
+            best = measure(flat, bstate)
+            bstate = shard_batched(
+                replicate_state(state, num_worlds), mesh)
+        except Exception as e:  # pragma: no cover - chip-side failures
+            print(f"[bench] flat path failed ({type(e).__name__}), "
+                  "falling back to vmapped", file=sys.stderr)
     step = make_sharded_many_world_step(
         static, mesh, num_steps=steps_per_dispatch
     )
 
-    from banggameengine_tpu.utils.profiling import measure_throughput_chained
-
-    t_total, _ = measure_throughput_chained(step, bstate, binp,
-                                            calls=5, warmup=2)
-    world_steps_per_sec = num_worlds * steps_per_dispatch / t_total
+    world_steps_per_sec = max(best, measure(step, bstate))
     n_chips = len(jax.devices())
     value = world_steps_per_sec / n_chips
     return {
