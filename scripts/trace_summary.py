@@ -120,10 +120,32 @@ def build_manyworld():
         bstate, binp)
 
 
+def build_manyworld_flat():
+    import jax
+
+    from banggameengine_tpu.parallel.manyworld import (
+        make_flat_many_world_step, make_world_mesh,
+        replicate_input, replicate_state, shard_batched,
+    )
+    from banggameengine_tpu.scene.synthetic import build_falling_boxes
+    from banggameengine_tpu.state import InputFrame
+
+    state, static = build_falling_boxes(
+        8, with_character=True, with_trigger=True)
+    mesh = make_world_mesh()
+    bstate = shard_batched(replicate_state(state, 1000), mesh)
+    binp = shard_batched(replicate_input(InputFrame.zero(), 1000), mesh)
+    step = make_flat_many_world_step(static, 1000, state.comp_mask,
+                                     num_steps=50)
+    return (lambda s, i: step(jax.tree.map(lambda x: x + 0, s), i)), (
+        bstate, binp)
+
+
 BUILDERS = {
     "frame_gather": lambda: build_frame("gather"),
     "frame_tiled": lambda: build_frame("tiled"),
     "manyworld": build_manyworld,
+    "manyworld_flat": build_manyworld_flat,
 }
 
 if __name__ == "__main__":
