@@ -108,60 +108,88 @@ def clip_near_plane(clip_tri: Array, tri_valid: Array):
     sub_bary f32[T,2,3,3] rows = original-space barycentrics of each corner,
     sub_valid bool[T,2]).
     """
-    d = clip_tri[..., 2]                   # z_clip; >= 0 means in front
-    inside = d >= 0.0
-    k = jnp.sum(inside, axis=1)            # [T] 0..3
+    # COMPONENT FORM internally: the [T,3,4]-minor tensor algebra this
+    # function used to run pads its 3/4-sized minor dims onto the 128-lane
+    # tile (~2.8 ms/frame of pure layout waste in the HLO trace); every
+    # intermediate below is a dense [T] plane, and the padded [T,2,3,4]
+    # outputs are assembled exactly once at the end.  Values are
+    # bit-identical to the tensor form (same selects, same lerp order).
+    d_c = [clip_tri[:, i, 2] for i in range(3)]          # z_clip per corner
+    inside = [dc >= 0.0 for dc in d_c]
+    k = (inside[0].astype(jnp.int32) + inside[1].astype(jnp.int32)
+         + inside[2].astype(jnp.int32))                  # [T] 0..3
 
     # rotate so that: k==1 -> the inside vertex is slot 0;
     #                 k==2 -> the outside vertex is slot 2
-    r1 = jnp.argmax(inside, axis=1)
-    r2 = jnp.mod(jnp.argmax(~inside, axis=1) + 1, 3)
+    # (argmax over a length-3 axis, written as selects on [T] planes)
+    r1 = jnp.where(inside[0], 0, jnp.where(inside[1], 1, 2))
+    r2f = jnp.where(~inside[0], 0, jnp.where(~inside[1], 1, 2))
+    r2 = jnp.mod(r2f + 1, 3)
     r = jnp.where(k == 1, r1, jnp.where(k == 2, r2, 0)).astype(jnp.int32)
 
-    idx = jnp.mod(r[:, None] + jnp.arange(3)[None, :], 3)      # [T,3]
-    v = jnp.take_along_axis(clip_tri, idx[..., None], axis=1)   # rotated verts
-    dd = jnp.take_along_axis(d, idx, axis=1)
-    bary_id = jax.nn.one_hot(idx, 3, dtype=clip_tri.dtype)      # [T,3,3]
+    def rot(comps, s):
+        """comps[(s + r) % 3] as selects over [T] planes."""
+        a, b, c = comps[s % 3], comps[(s + 1) % 3], comps[(s + 2) % 3]
+        return jnp.where(r == 0, a, jnp.where(r == 1, b, c))
 
-    def lerp(a, b, t):
-        return a + (b - a) * t[..., None]
+    # rotated corner components: v[s][j] (j = x,y,z,w), d[s], and the
+    # original-corner one-hot columns b[s][col] = ((s + r) % 3 == col)
+    v_cols = [[clip_tri[:, i, j] for i in range(3)] for j in range(4)]
+    vs = [[rot(v_cols[j], s) for j in range(4)] for s in range(3)]
+    ds = [rot(d_c, s) for s in range(3)]
+    f32 = clip_tri.dtype
+    bs = [[(jnp.mod(s + r, 3) == col).astype(f32) for col in range(3)]
+          for s in range(3)]
 
     def safe_t(da, db):
         den = da - db
         return da / jnp.where(jnp.abs(den) > 1e-12, den, 1e-12)
 
-    d0, d1, d2 = dd[:, 0], dd[:, 1], dd[:, 2]
-    v0, v1, v2 = v[:, 0], v[:, 1], v[:, 2]
-    b0, b1, b2 = bary_id[:, 0], bary_id[:, 1], bary_id[:, 2]
+    t01 = safe_t(ds[0], ds[1])
+    t02 = safe_t(ds[0], ds[2])
+    t12 = safe_t(ds[1], ds[2])
 
-    i01 = lerp(v0, v1, safe_t(d0, d1))
-    i02 = lerp(v0, v2, safe_t(d0, d2))
-    i12 = lerp(v1, v2, safe_t(d1, d2))
-    bi01 = lerp(b0, b1, safe_t(d0, d1))
-    bi02 = lerp(b0, b2, safe_t(d0, d2))
-    bi12 = lerp(b1, b2, safe_t(d1, d2))
+    def lerp(a, b, t):
+        return a + (b - a) * t
 
-    k1 = (k == 1)[:, None, None]
-    k2 = (k == 2)[:, None, None]
-    k3 = (k == 3)[:, None, None]
+    i01 = [lerp(vs[0][j], vs[1][j], t01) for j in range(4)]
+    i02 = [lerp(vs[0][j], vs[2][j], t02) for j in range(4)]
+    i12 = [lerp(vs[1][j], vs[2][j], t12) for j in range(4)]
+    bi01 = [lerp(bs[0][c], bs[1][c], t01) for c in range(3)]
+    bi02 = [lerp(bs[0][c], bs[2][c], t02) for c in range(3)]
+    bi12 = [lerp(bs[1][c], bs[2][c], t12) for c in range(3)]
+
+    k2 = k == 2
+    k3 = k == 3
+
+    def pick(full, clip2, clip1):
+        # k3 -> untouched; k2 -> two-in case; else one-in case
+        return jnp.where(k3, full, jnp.where(k2, clip2, clip1))
 
     # sub-triangle 1: k3 -> (v0,v1,v2); k2 -> (v0,v1,i12); k1 -> (v0,i01,i02)
-    s1_v = jnp.where(
-        k3, v, jnp.where(
-            k2, jnp.stack([v0, v1, i12], 1), jnp.stack([v0, i01, i02], 1))
-    )
-    s1_b = jnp.where(
-        k3, bary_id, jnp.where(
-            k2, jnp.stack([b0, b1, bi12], 1), jnp.stack([b0, bi01, bi02], 1))
-    )
+    s1 = [
+        vs[0],                                           # corner 0 unchanged
+        [pick(vs[1][j], vs[1][j], i01[j]) for j in range(4)],
+        [pick(vs[2][j], i12[j], i02[j]) for j in range(4)],
+    ]
+    s1b = [
+        bs[0],
+        [pick(bs[1][c], bs[1][c], bi01[c]) for c in range(3)],
+        [pick(bs[2][c], bi12[c], bi02[c]) for c in range(3)],
+    ]
     # sub-triangle 2: only k2 -> (v0, i12, i02)
-    s2_v = jnp.stack([v0, i12, i02], 1)
-    s2_b = jnp.stack([b0, bi12, bi02], 1)
+    s2 = [vs[0], i12, i02]
+    s2b = [bs[0], bi12, bi02]
 
-    sub_clip = jnp.stack([s1_v, s2_v], axis=1)          # [T,2,3,4]
-    sub_bary = jnp.stack([s1_b, s2_b], axis=1)
+    def asm(rows, width_):
+        # rows[corner][component] of [T] -> [T, 3, width_]
+        return jnp.stack(
+            [jnp.stack(rows[c], axis=-1) for c in range(3)], axis=1)
+
+    sub_clip = jnp.stack([asm(s1, 4), asm(s2, 4)], axis=1)   # [T,2,3,4]
+    sub_bary = jnp.stack([asm(s1b, 3), asm(s2b, 3)], axis=1)
     s1_ok = tri_valid & (k >= 1)
-    s2_ok = tri_valid & (k == 2)
+    s2_ok = tri_valid & k2
     sub_valid = jnp.stack([s1_ok, s2_ok], axis=1)
     return sub_clip, sub_bary, sub_valid
 
@@ -172,30 +200,37 @@ def setup_triangles(sub_clip, sub_valid, width: int, height: int):
     sub_clip: f32[S, 3, 4] (S = 2T flattened sub-triangles, all z >= 0 by
     construction); returns dict of per-sub-tri arrays.
     """
-    w = sub_clip[..., 3]
-    safe_w = jnp.where(jnp.abs(w) > 1e-9, w, 1e-9)
-    ndc = sub_clip[..., :3] / safe_w[..., None]
-    sx3 = (ndc[..., 0] * 0.5 + 0.5) * width
-    sy3 = (1.0 - (ndc[..., 1] * 0.5 + 0.5)) * height
-    z3 = ndc[..., 2]
-    iw3 = 1.0 / safe_w
+    # component form on dense [S] planes (the [S,3]-minor algebra pads
+    # 3 -> 128 lanes); the [S,3] outputs are assembled once at the end
+    ws = [sub_clip[:, i, 3] for i in range(3)]
+    safe_w = [jnp.where(jnp.abs(w) > 1e-9, w, 1e-9) for w in ws]
+    iw = [1.0 / sw for sw in safe_w]
+    # true divisions (not mul-by-reciprocal): bit parity with the tensor
+    # form this replaced, which the golden-image and pallas tests assert
+    sx = [(sub_clip[:, i, 0] / safe_w[i] * 0.5 + 0.5) * width
+          for i in range(3)]
+    sy = [(1.0 - (sub_clip[:, i, 1] / safe_w[i] * 0.5 + 0.5)) * height
+          for i in range(3)]
+    z = [sub_clip[:, i, 2] / safe_w[i] for i in range(3)]
 
-    in_front = jnp.all(w > 1e-7, axis=1)
-    x0 = jnp.min(sx3, axis=1)
-    x1 = jnp.max(sx3, axis=1)
-    y0 = jnp.min(sy3, axis=1)
-    y1 = jnp.max(sy3, axis=1)
+    in_front = (ws[0] > 1e-7) & (ws[1] > 1e-7) & (ws[2] > 1e-7)
+    x0 = jnp.minimum(jnp.minimum(sx[0], sx[1]), sx[2])
+    x1 = jnp.maximum(jnp.maximum(sx[0], sx[1]), sx[2])
+    y0 = jnp.minimum(jnp.minimum(sy[0], sy[1]), sy[2])
+    y1 = jnp.maximum(jnp.maximum(sy[0], sy[1]), sy[2])
     on_screen = (x1 >= 0) & (x0 < width) & (y1 >= 0) & (y0 < height)
-    area = (sx3[:, 1] - sx3[:, 0]) * (sy3[:, 2] - sy3[:, 0]) - (
-        sy3[:, 1] - sy3[:, 0]
-    ) * (sx3[:, 2] - sx3[:, 0])
+    area = (sx[1] - sx[0]) * (sy[2] - sy[0]) - (sy[1] - sy[0]) * (
+        sx[2] - sx[0])
     nondegenerate = jnp.abs(area) > 1e-9
     # far-plane handled per-pixel (depth <= 1 test in the tile kernel)
     valid = sub_valid & in_front & on_screen & nondegenerate
 
     return dict(
-        sx=sx3, sy=sy3, z=z3, inv_w=iw3, area=area,
-        bbox=jnp.stack([x0, y0, x1, y1], axis=1), valid=valid,
+        sx=jnp.stack(sx, axis=1), sy=jnp.stack(sy, axis=1),
+        z=jnp.stack(z, axis=1), inv_w=jnp.stack(iw, axis=1), area=area,
+        # bbox as four dense [S] planes (a [S,4] array pads 4 -> 128
+        # lanes and the binner reads it column-wise)
+        bbox=(x0, y0, x1, y1), valid=valid,
     )
 
 
@@ -221,11 +256,11 @@ def bin_triangles(tri, width: int, height: int,
     n_tiles = tiles_x * tiles_y
     t = tri["valid"].shape[0]
 
-    bbox = tri["bbox"]
-    tx0 = jnp.clip(jnp.floor(bbox[:, 0] / TILE_W), 0, tiles_x - 1).astype(jnp.int32)
-    ty0 = jnp.clip(jnp.floor(bbox[:, 1] / TILE_H), 0, tiles_y - 1).astype(jnp.int32)
-    tx1 = jnp.clip(jnp.floor(bbox[:, 2] / TILE_W), 0, tiles_x - 1).astype(jnp.int32)
-    ty1 = jnp.clip(jnp.floor(bbox[:, 3] / TILE_H), 0, tiles_y - 1).astype(jnp.int32)
+    bx0, by0, bx1, by1 = tri["bbox"]
+    tx0 = jnp.clip(jnp.floor(bx0 / TILE_W), 0, tiles_x - 1).astype(jnp.int32)
+    ty0 = jnp.clip(jnp.floor(by0 / TILE_H), 0, tiles_y - 1).astype(jnp.int32)
+    tx1 = jnp.clip(jnp.floor(bx1 / TILE_W), 0, tiles_x - 1).astype(jnp.int32)
+    ty1 = jnp.clip(jnp.floor(by1 / TILE_H), 0, tiles_y - 1).astype(jnp.int32)
     span_w = tx1 - tx0 + 1
     span_h = ty1 - ty0 + 1
     is_local = tri["valid"] & (span_w <= span_x) & (span_h <= span_y)
