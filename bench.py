@@ -34,7 +34,7 @@ def _time_dispatches(fn, args, *, warmup=2, reps=10):
 
 
 def bench_manyworld(num_worlds=1000, bodies_per_world=8, steps_per_dispatch=50,
-                    layout="flat"):
+                    layout=None):
     import jax
 
     from banggameengine_tpu.parallel import (
@@ -63,6 +63,12 @@ def bench_manyworld(num_worlds=1000, bodies_per_world=8, steps_per_dispatch=50,
                                                 calls=5, warmup=2)
         return num_worlds * steps_per_dispatch / t_total
 
+    # the flat path's 16k-entity compile has twice coincided with the
+    # remote compile helper dying (tunnel unavailable for hours) — keep it
+    # opt-in until proven stable on this runtime
+    if layout is None:
+        import os
+        layout = os.environ.get("BANG_MW_LAYOUT", "vmapped")
     best = 0.0
     if layout in ("flat", "both") and len(jax.devices()) == 1:
         # block-diagonal flat world through the transposed contact
