@@ -250,6 +250,12 @@ def make_flat_many_world_step(
     (slot w = world w), and characters/triggers are group-masked to their
     world block.  ``comp_mask_1w`` is one world's host-side component mask
     (used to find the solid boxes at build time).
+
+    Restriction: the neighbor topology is baked at build time, so runtime
+    entity spawn/despawn (ecs.lifecycle) does not extend the contact
+    graph inside this step — use the vmapped path for scenes that mutate
+    their body set (dead bodies are still masked out correctly via
+    ``alive``).
     """
     from banggameengine_tpu.physics.step import scene_census
 
