@@ -11,6 +11,16 @@ Other configs (BASELINE.json "configs"):
   cull      — frustum cull + vertex transform + depth-only raster, frames/sec
   frame     — full shaded 1080p frame loop (sim step + render), frames/sec
 
+Resilience (round 4): the axon TPU tunnel has failed mid-round twice
+(BENCH_r03.json rc=1, backend init hang >9 min).  ``bench.py`` therefore
+runs as an ORCHESTRATOR by default: it probes the backend in a bounded
+subprocess, retries with backoff, runs the real measurement in a child
+(``BANG_BENCH_CHILD=1``) with a hard timeout, and — only if the TPU is
+unreachable after retries — reruns the child on CPU with an explicit
+``"device": "cpu"`` marker so the recorded number can never be mistaken
+for a chip measurement.  Every output line carries capture provenance:
+``device``, ``layout`` (manyworld), ``attempts``.
+
 Usage: python bench.py [config] [--steps N] [--worlds W] [--bodies B]
 """
 
@@ -18,8 +28,14 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
+import subprocess
 import sys
 import time
+
+PROBE_TIMEOUT_S = int(os.environ.get("BANG_BENCH_PROBE_TIMEOUT", "480"))
+CHILD_TIMEOUT_S = int(os.environ.get("BANG_BENCH_CHILD_TIMEOUT", "1800"))
+RETRY_BACKOFF_S = int(os.environ.get("BANG_BENCH_BACKOFF", "45"))
 
 
 def _time_dispatches(fn, args, *, warmup=2, reps=10):
@@ -31,6 +47,13 @@ def _time_dispatches(fn, args, *, warmup=2, reps=10):
 
     t = measure_throughput(fn, *args, calls=reps, warmup=warmup)
     return t, fn(*args)
+
+
+def _device_kind():
+    import jax
+
+    d = jax.devices()[0]
+    return getattr(d, "device_kind", d.platform)
 
 
 def bench_manyworld(num_worlds=1000, bodies_per_world=8, steps_per_dispatch=50,
@@ -54,6 +77,7 @@ def bench_manyworld(num_worlds=1000, bodies_per_world=8, steps_per_dispatch=50,
     mesh = make_world_mesh()
     bstate = shard_batched(replicate_state(state, num_worlds), mesh)
     binp = shard_batched(replicate_input(InputFrame.zero(), num_worlds), mesh)
+
     def measure(step, bstate_):
         from banggameengine_tpu.utils.profiling import (
             measure_throughput_chained,
@@ -63,33 +87,39 @@ def bench_manyworld(num_worlds=1000, bodies_per_world=8, steps_per_dispatch=50,
                                                 calls=5, warmup=2)
         return num_worlds * steps_per_dispatch / t_total
 
-    # the flat path's 16k-entity compile has twice coincided with the
-    # remote compile helper dying (tunnel unavailable for hours) — keep it
-    # opt-in until proven stable on this runtime
+    # Default layout: flat block-diagonal (the W*B body axis on the 128
+    # lanes — the vmapped [W,B,...] layout wastes ~40x of every (8,128)
+    # tile).  Falls back to the vmapped path LOUDLY (layout field in the
+    # output JSON) on any compile/run failure.
     if layout is None:
-        import os
-        layout = os.environ.get("BANG_MW_LAYOUT", "vmapped")
-    best = 0.0
+        layout = os.environ.get("BANG_MW_LAYOUT", "flat")
+    best, used_layout = 0.0, "vmapped"
     if layout in ("flat", "both") and len(jax.devices()) == 1:
         # block-diagonal flat world through the transposed contact
-        # pipeline (parity-tested vs the vmapped path at 2e-4/25 steps);
-        # falls back to the vmapped path on any compile/run failure
+        # pipeline (parity-tested vs the vmapped path)
         try:
             flat = make_flat_many_world_step(
                 static, num_worlds, state.comp_mask,
                 num_steps=steps_per_dispatch,
             )
             best = measure(flat, bstate)
+            used_layout = "flat"
             bstate = shard_batched(
                 replicate_state(state, num_worlds), mesh)
         except Exception as e:  # pragma: no cover - chip-side failures
-            print(f"[bench] flat path failed ({type(e).__name__}), "
+            used_layout = f"vmapped-fallback({type(e).__name__})"
+            print(f"[bench] flat path failed ({type(e).__name__}: {e}), "
                   "falling back to vmapped", file=sys.stderr)
-    step = make_sharded_many_world_step(
-        static, mesh, num_steps=steps_per_dispatch
-    )
-
-    world_steps_per_sec = max(best, measure(step, bstate))
+    if layout != "flat" or best == 0.0:
+        step = make_sharded_many_world_step(
+            static, mesh, num_steps=steps_per_dispatch
+        )
+        vm = measure(step, bstate)
+        if vm > best:
+            best = vm
+            if used_layout == "flat":
+                used_layout = "vmapped(beat flat)"
+    world_steps_per_sec = best
     n_chips = len(jax.devices())
     value = world_steps_per_sec / n_chips
     return {
@@ -99,12 +129,11 @@ def bench_manyworld(num_worlds=1000, bodies_per_world=8, steps_per_dispatch=50,
         "value": round(value, 1),
         "unit": "world-steps/sec/chip",
         "vs_baseline": round(value / 10000.0, 3),
+        "layout": used_layout,
     }
 
 
 def bench_demo(steps_per_dispatch=100):
-    import jax
-
     from banggameengine_tpu.engine import make_multi_step_fn
     from banggameengine_tpu.state import InputFrame
     from __graft_entry__ import _load_demo_scene
@@ -127,8 +156,6 @@ def bench_demo(steps_per_dispatch=100):
 def bench_stress(num_bodies=10000, steps_per_dispatch=50):
     """Driver config #2: 10k falling rigid bodies, Pallas blocked all-pairs
     broadphase + transposed component-form contact pipeline, no rendering."""
-    import jax
-
     from banggameengine_tpu.engine import make_multi_step_fn
     from banggameengine_tpu.scene.synthetic import build_falling_boxes
     from banggameengine_tpu.state import InputFrame
@@ -152,8 +179,6 @@ def bench_stress(num_bodies=10000, steps_per_dispatch=50):
 
 def _load_built_demo():
     try:
-        import os
-
         from banggameengine_tpu.physics.config import load_physics_config
         from banggameengine_tpu.scene import (
             ResourceManager, build_scene, parse_scene_json,
@@ -256,14 +281,19 @@ CONFIGS = {
 }
 
 
-def main(argv=None):
-    p = argparse.ArgumentParser()
-    p.add_argument("config", nargs="?", default="manyworld", choices=CONFIGS)
-    p.add_argument("--worlds", type=int, default=1000)
-    p.add_argument("--bodies", type=int, default=8)
-    p.add_argument("--steps", type=int, default=None)
-    args = p.parse_args(argv)
+def _force_cpu_if_requested():
+    # The environment ships an 'axon' TPU-tunnel plugin that wins platform
+    # selection even with JAX_PLATFORMS=cpu in the env; the config API call
+    # (before any backend init) is the only thing that actually forces CPU.
+    if os.environ.get("JAX_PLATFORMS") == "cpu":
+        import jax
 
+        jax.config.update("jax_platforms", "cpu")
+
+
+def _child_main(args):
+    """Run the actual measurement in-process and print the JSON line."""
+    _force_cpu_if_requested()
     kwargs = {}
     if args.config == "manyworld":
         kwargs = {"num_worlds": args.worlds, "bodies_per_world": args.bodies}
@@ -273,8 +303,125 @@ def main(argv=None):
         kwargs = {"steps_per_dispatch": args.steps}
 
     result = CONFIGS[args.config](**kwargs)
+    result["device"] = _device_kind()
     print(json.dumps(result))
 
 
+# ---------------------------------------------------------------------------
+# Orchestrator: bounded probe + retry + hard child timeout + CPU fallback
+# ---------------------------------------------------------------------------
+
+_PROBE_SRC = (
+    "import os, jax;"
+    "os.environ.get('JAX_PLATFORMS') == 'cpu' "
+    "and jax.config.update('jax_platforms', 'cpu');"
+    "import jax.numpy as jnp;"
+    "x = jnp.ones((256, 256));"
+    "import numpy as np;"
+    "np.asarray((x @ x).ravel()[:1]);"
+    "print('PROBE_OK', jax.devices()[0].platform)"
+)
+
+
+def _run_probe(env):
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c", _PROBE_SRC], env=env,
+            capture_output=True, text=True, timeout=PROBE_TIMEOUT_S,
+        )
+        return r.returncode == 0 and "PROBE_OK" in r.stdout
+    except subprocess.TimeoutExpired:
+        return False
+
+
+def _run_child(argv, env):
+    """Run the measurement child; returns the parsed JSON dict or None."""
+    cmd = [sys.executable, os.path.abspath(__file__)] + argv
+    try:
+        r = subprocess.run(cmd, env=env, capture_output=True, text=True,
+                           timeout=CHILD_TIMEOUT_S)
+    except subprocess.TimeoutExpired:
+        print("[bench] child timed out", file=sys.stderr)
+        return None
+    sys.stderr.write(r.stderr[-2000:])
+    for line in reversed(r.stdout.strip().splitlines()):
+        try:
+            obj = json.loads(line)
+            if isinstance(obj, dict) and "metric" in obj:
+                return obj
+        except json.JSONDecodeError:
+            continue
+    print(f"[bench] child rc={r.returncode}, no JSON line", file=sys.stderr)
+    return None
+
+
+def _orchestrate(argv):
+    base_env = dict(os.environ)
+    base_env["BANG_BENCH_CHILD"] = "1"
+    attempts = []
+
+    # up to 2 TPU attempts, each gated by a bounded backend probe
+    for attempt in range(2):
+        if attempt:
+            time.sleep(RETRY_BACKOFF_S)
+        if not _run_probe(base_env):
+            attempts.append("tpu-probe-failed")
+            print(f"[bench] backend probe failed (attempt {attempt + 1})",
+                  file=sys.stderr)
+            continue
+        result = _run_child(argv, base_env)
+        if result is not None:
+            result["attempts"] = attempts + [f"tpu-ok(try{attempt + 1})"]
+            print(json.dumps(result))
+            return 0
+        attempts.append("tpu-child-failed")
+
+    # CPU fallback: honest rc=0 with an unmissable device marker.  A CPU
+    # number is NOT comparable to the chip targets — vs_baseline will be
+    # far below 1 — but it proves the code path works and records that the
+    # tunnel, not the engine, was down.
+    print("[bench] TPU unreachable after retries; falling back to CPU "
+          "(device field will say so)", file=sys.stderr)
+    cpu_env = dict(base_env)
+    cpu_env["JAX_PLATFORMS"] = "cpu"
+    cpu_env["BANG_BENCH_CPU_FALLBACK"] = "1"
+    # shrink the workload so the CPU run finishes in minutes
+    cpu_argv = list(argv)
+    if not argv or argv[0] == "manyworld":
+        cpu_argv = ["manyworld", "--worlds", "64", "--steps", "10"]
+    result = _run_child(cpu_argv, cpu_env)
+    if result is None:
+        print(json.dumps({
+            "metric": "bench failed (TPU tunnel down, CPU fallback failed)",
+            "value": 0.0, "unit": "none", "vs_baseline": 0.0,
+            "device": "none", "attempts": attempts + ["cpu-failed"],
+        }))
+        return 1
+    result["attempts"] = attempts + ["cpu-fallback"]
+    result["device"] = "cpu (TPU TUNNEL DOWN — not a chip number)"
+    print(json.dumps(result))
+    return 0
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("config", nargs="?", default="manyworld", choices=CONFIGS)
+    p.add_argument("--worlds", type=int, default=1000)
+    p.add_argument("--bodies", type=int, default=8)
+    p.add_argument("--steps", type=int, default=None)
+    p.add_argument("--no-orchestrate", action="store_true",
+                   help="run the measurement in-process (no probe/retry)")
+    args = p.parse_args(argv)
+
+    if os.environ.get("BANG_BENCH_CHILD") == "1" or args.no_orchestrate:
+        _child_main(args)
+        return 0
+
+    raw = list(sys.argv[1:] if argv is None else argv)
+    if "--no-orchestrate" in raw:
+        raw.remove("--no-orchestrate")
+    return _orchestrate(raw)
+
+
 if __name__ == "__main__":
-    main()
+    sys.exit(main())
