@@ -274,26 +274,44 @@ def make_flat_many_world_step(
         return s2
 
     def run(bstate, binp, st, nb, nv, grp, cc):
+        from banggameengine_tpu.state import FEAT_STRIDE
+
         b = bstate.alive.shape[1]
         n = w * b
         di = jnp.arange(w)
+
+        # Contact features encode partner ids: pair features are
+        # (partner+1)*FEAT_STRIDE + slot (>= FEAT_STRIDE), ground features
+        # are bare slot ids (< FEAT_STRIDE).  Flat partner = w*B + partner,
+        # so the per-world <-> flat remap is a pure offset of
+        # world*B*FEAT_STRIDE on pair features — the warm-start cache
+        # SURVIVES dispatch boundaries instead of resetting (round-3
+        # verdict #6: interactive single-step dispatch kept losing every
+        # manifold at the flatten/unflatten seam).
+        def feat_to_flat(feat_wb):            # [W,B,CB] per-world ids
+            off = (jnp.arange(w, dtype=jnp.int32) * b
+                   * FEAT_STRIDE)[:, None, None]
+            return jnp.where(feat_wb >= FEAT_STRIDE, feat_wb + off, feat_wb)
+
+        def feat_to_world(feat_flat):         # [W,B,CB] flat ids
+            off = (jnp.arange(w, dtype=jnp.int32) * b
+                   * FEAT_STRIDE)[:, None, None]
+            return jnp.where(feat_flat >= FEAT_STRIDE, feat_flat - off,
+                             feat_flat)
 
         def flatten(s):
             f = {}
             for name in ("alive", "comp_mask", "pos", "quat", "scale",
                          "world", "lin_vel", "ang_vel", "char_vel_y",
-                         "char_on_ground", "contact_feat", "contact_imp"):
+                         "char_on_ground", "contact_imp"):
                 a = getattr(s, name)
                 f[name] = a.reshape((n,) + a.shape[2:])
+            cf = feat_to_flat(s.contact_feat)
+            f["contact_feat"] = cf.reshape((n,) + cf.shape[2:])
             ov = jnp.zeros((w, t1, w, b), bool)
             ov = ov.at[di, :, di, :].set(s.trigger_overlap)
             f["trigger_overlap"] = ov.reshape(w * t1, n)
             f["trigger_active"] = s.trigger_active.reshape(w * t1)
-            # contact features encode per-world partner ids; the flat
-            # pipeline re-derives them in flat id space — reset (one-step
-            # warm-start miss on entry)
-            f["contact_feat"] = jnp.full_like(f["contact_feat"], -1)
-            f["contact_imp"] = jnp.zeros_like(f["contact_imp"])
             # lockstep: every world shares the clock
             f["time"] = s.time[0]
             f["step_idx"] = s.step_idx[0]
@@ -303,15 +321,14 @@ def make_flat_many_world_step(
             f = {}
             for name in ("alive", "comp_mask", "pos", "quat", "scale",
                          "world", "lin_vel", "ang_vel", "char_vel_y",
-                         "char_on_ground", "contact_feat", "contact_imp"):
+                         "char_on_ground", "contact_imp"):
                 a = getattr(fs, name)
                 f[name] = a.reshape((w, b) + a.shape[1:])
+            cf = fs.contact_feat.reshape((w, b) + fs.contact_feat.shape[1:])
+            f["contact_feat"] = feat_to_world(cf)
             ov = fs.trigger_overlap.reshape(w, t1, w, b)
             f["trigger_overlap"] = ov[di, :, di, :].reshape(w, t1, b)
             f["trigger_active"] = fs.trigger_active.reshape(w, t1)
-            # back to per-world cache space: reset (same one-step miss)
-            f["contact_feat"] = jnp.full_like(f["contact_feat"], -1)
-            f["contact_imp"] = jnp.zeros_like(f["contact_imp"])
             f["time"] = jnp.broadcast_to(fs.time, (w,))
             f["step_idx"] = jnp.broadcast_to(fs.step_idx, (w,))
             return WorldState(**f)

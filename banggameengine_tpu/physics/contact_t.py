@@ -465,7 +465,7 @@ def _sym_mul(i6, vx, vy, vz):
 
 @functools.partial(
     jax.jit, static_argnames=("iterations", "ground_friction",
-                              "return_lambdas"))
+                              "return_lambdas", "momentum"))
 def solve_contacts_t(
     vel: Array,        # f32[N,3]
     ang: Array,        # f32[N,3]
@@ -480,6 +480,7 @@ def solve_contacts_t(
     ground_friction: float = 0.5,
     warm=None,
     return_lambdas: bool = False,
+    momentum: float = 0.0,
 ):
     """Transposed image of :func:`solver.solve_contacts_unified` (same
     mass-splitting Jacobi scheme, same constants); returns (vel, ang).
@@ -617,21 +618,33 @@ def solve_contacts_t(
         ln0 = lt10 = lt20 = zeros
 
     def body(_, carry):
-        vx_, vy_, vz_, wx_, wy_, wz_, ln, lt1, lt2 = carry
+        vx_, vy_, vz_, wx_, wy_, wz_, ln, lt1, lt2, pln, plt1, plt2 = carry
         rx, ry, rz = rel_vel(vx_, vy_, vz_, wx_, wy_, wz_,
                              pack(vx_, vy_, vz_, wx_, wy_, wz_))
         vn = _dot(rx, ry, rz, c_nx, c_ny, c_nz)
         ln_new = jnp.maximum(ln + (-(vn - target)) / kn, 0.0)
+        if momentum:
+            # heavy-ball extrapolation over the lambda iterates (see
+            # solver.py): kills the tall-stack oscillation mode that plain
+            # mass-splitting Jacobi leaves under-converged
+            ln_new = jnp.maximum(ln_new + momentum * (ln_new - pln), 0.0)
         dln = jnp.where(c_valid, ln_new - ln, 0.0)
+        pln = ln
         ln = jnp.where(c_valid, ln_new, ln)
 
         vt1 = _dot(rx, ry, rz, t1x, t1y, t1z)
         vt2 = _dot(rx, ry, rz, t2x, t2y, t2z)
         max_f = c_mu * ln
-        lt1_new = jnp.clip(lt1 - vt1 / kt1, -max_f, max_f)
-        lt2_new = jnp.clip(lt2 - vt2 / kt2, -max_f, max_f)
+        lt1_new = lt1 - vt1 / kt1
+        lt2_new = lt2 - vt2 / kt2
+        if momentum:
+            lt1_new = lt1_new + momentum * (lt1_new - plt1)
+            lt2_new = lt2_new + momentum * (lt2_new - plt2)
+        lt1_new = jnp.clip(lt1_new, -max_f, max_f)
+        lt2_new = jnp.clip(lt2_new, -max_f, max_f)
         dlt1 = jnp.where(c_valid, lt1_new - lt1, 0.0)
         dlt2 = jnp.where(c_valid, lt2_new - lt2, 0.0)
+        plt1, plt2 = lt1, lt2
         lt1 = jnp.where(c_valid, lt1_new, lt1)
         lt2 = jnp.where(c_valid, lt2_new, lt2)
 
@@ -652,9 +665,9 @@ def solve_contacts_t(
         wx_ = wx_ + iwx * inv_split
         wy_ = wy_ + iwy * inv_split
         wz_ = wz_ + iwz * inv_split
-        return vx_, vy_, vz_, wx_, wy_, wz_, ln, lt1, lt2
+        return vx_, vy_, vz_, wx_, wy_, wz_, ln, lt1, lt2, pln, plt1, plt2
 
-    carry = (vx, vy, vz, wx, wy, wz, ln0, lt10, lt20)
+    carry = (vx, vy, vz, wx, wy, wz, ln0, lt10, lt20, ln0, lt10, lt20)
     carry = jax.lax.fori_loop(0, iterations, body, carry)
     vx, vy, vz, wx, wy, wz = carry[:6]
     out = (jnp.stack([vx, vy, vz], axis=1), jnp.stack([wx, wy, wz], axis=1))

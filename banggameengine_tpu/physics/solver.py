@@ -125,7 +125,8 @@ def compact_contacts(
     return out + (overflow,)
 
 
-@partial(jax.jit, static_argnames=("iterations", "return_lambdas"))
+@partial(jax.jit, static_argnames=("iterations", "return_lambdas", "sor",
+                                   "momentum"))
 def solve_contacts_unified(
     v: Array,            # f32[N,3] linear velocity (pre-solve)
     w: Array,            # f32[N,3] angular velocity
@@ -143,6 +144,8 @@ def solve_contacts_unified(
     iterations: int = 10,
     warm: tuple[Array, Array, Array] | None = None,
     return_lambdas: bool = False,
+    sor: float = 1.0,
+    momentum: float = 0.0,
 ) -> tuple[Array, ...]:
     """Solve the compacted contact set; returns post-solve (v, w).
 
@@ -239,21 +242,34 @@ def solve_contacts_unified(
         ln0 = lt10 = lt20 = zeros
 
     def body(_, carry):
-        v_, w_, ln, lt1, lt2 = carry
+        v_, w_, ln, lt1, lt2, pln, plt1, plt2 = carry
         vr = rel_vel(v_, w_)
         vn = jnp.sum(vr * c_normal, -1)
-        dln = (-(vn - target)) / kn
+        dln = sor * (-(vn - target)) / kn
         ln_new = jnp.maximum(ln + dln, 0.0)
+        if momentum:
+            # heavy-ball extrapolation over the lambda iterates (Chebyshev-
+            # style acceleration of mass-splitting Jacobi, cf. Tonge et al.
+            # "Mass Splitting for Jitter-Free Parallel Rigid Body
+            # Simulation"): projects back onto the cone after extrapolating
+            ln_new = jnp.maximum(ln_new + momentum * (ln_new - pln), 0.0)
         dln = jnp.where(c_valid, ln_new - ln, 0.0)
+        pln = ln
         ln = jnp.where(c_valid, ln_new, ln)
 
         vt1 = jnp.sum(vr * t1, -1)
         vt2 = jnp.sum(vr * t2, -1)
         max_f = c_mu * ln
-        lt1_new = jnp.clip(lt1 - vt1 / kt1, -max_f, max_f)
-        lt2_new = jnp.clip(lt2 - vt2 / kt2, -max_f, max_f)
+        lt1_new = lt1 - sor * vt1 / kt1
+        lt2_new = lt2 - sor * vt2 / kt2
+        if momentum:
+            lt1_new = lt1_new + momentum * (lt1_new - plt1)
+            lt2_new = lt2_new + momentum * (lt2_new - plt2)
+        lt1_new = jnp.clip(lt1_new, -max_f, max_f)
+        lt2_new = jnp.clip(lt2_new, -max_f, max_f)
         dlt1 = jnp.where(c_valid, lt1_new - lt1, 0.0)
         dlt2 = jnp.where(c_valid, lt2_new - lt2, 0.0)
+        plt1, plt2 = lt1, lt2
         lt1 = jnp.where(c_valid, lt1_new, lt1)
         lt2 = jnp.where(c_valid, lt2_new, lt2)
 
@@ -266,9 +282,9 @@ def solve_contacts_unified(
         ang = jnp.sum(jnp.cross(ra, imp), axis=1)
         v_ = v_ + lin * (inv_m / split)[:, None]
         w_ = w_ + jnp.einsum("nij,nj->ni", inv_i_world, ang) / split[:, None]
-        return v_, w_, ln, lt1, lt2
+        return v_, w_, ln, lt1, lt2, pln, plt1, plt2
 
-    carry = (v, w, ln0, lt10, lt20)
+    carry = (v, w, ln0, lt10, lt20, ln0, lt10, lt20)
     carry = jax.lax.fori_loop(0, iterations, body, carry)
     if return_lambdas:
         return carry[0], carry[1], (carry[2], carry[3], carry[4])

@@ -91,6 +91,8 @@ def physics_step(
     group: "Array | None" = None,
     static_neighbors: "tuple | None" = None,
     char_candidates: "Array | None" = None,
+    solver_sor: float = 1.0,
+    solver_momentum: float = 0.5,
 ) -> tuple[WorldState, StepEvents]:
     dt = static.fixed_dt
     n = state.capacity
@@ -313,6 +315,7 @@ def physics_step(
                 iterations=solver_iterations,
                 ground_friction=GROUND_FRICTION,
                 warm=warm, return_lambdas=True,
+                momentum=solver_momentum,
             )
             imp_s = jnp.where(
                 c_valid.T[..., None],
@@ -334,6 +337,7 @@ def physics_step(
                 c_valid, fric_s, rest_s, dt,
                 iterations=solver_iterations,
                 ground_friction=GROUND_FRICTION,
+                momentum=solver_momentum,
             )
             contact_cache = None
         out = jnp.concatenate([vel_s, ang_s], axis=1)
@@ -393,6 +397,7 @@ def physics_step(
                 iterations=solver_iterations,
                 ground_friction=GROUND_FRICTION,
                 warm=warm, return_lambdas=True,
+                momentum=solver_momentum,
             )
             imp = jnp.where(
                 c_valid.T[..., None],
@@ -414,6 +419,7 @@ def physics_step(
                 c_valid, static.friction, static.restitution, dt,
                 iterations=solver_iterations,
                 ground_friction=GROUND_FRICTION,
+                momentum=solver_momentum,
             )
             contact_cache = None
         return _finish_step(state, static, pos, quat, vel, ang,
@@ -533,6 +539,7 @@ def physics_step(
             vel, ang, pos, static.inv_mass, inv_i_w,
             c_b, c_pt, c_n, c_d, c_valid, c_mu, c_e, dt,
             iterations=solver_iterations, warm=warm, return_lambdas=True,
+            sor=solver_sor, momentum=solver_momentum,
         )
         contact_cache = (
             c_f,
@@ -544,6 +551,7 @@ def physics_step(
             vel, ang, pos, static.inv_mass, inv_i_w,
             c_b, c_pt, c_n, c_d, c_valid, c_mu, c_e, dt,
             iterations=solver_iterations,
+            sor=solver_sor, momentum=solver_momentum,
         )
         contact_cache = None
     return _finish_step(state, static, pos, quat, vel, ang,
