@@ -205,13 +205,18 @@ def _flat_static(static: StaticScene, num_worlds: int,
         char_jump_impulse=jnp.asarray(tile_slots(static.char_jump_impulse)),
     )
 
-    # solid boxes of one world (the only bodies the contact pipeline sees)
+    # solid shapes of one world (the bodies the contact pipeline sees):
+    # boxes AND capsules (round 4 — the transposed pipeline handles mixed
+    # shapes); characters are ghosts and never reach the solver
+    from banggameengine_tpu.state import SHAPE_CAPSULE
+
     ce = np.asarray(static.char_entity)
     is_char = np.zeros(b, bool)
     is_char[ce[ce >= 0]] = True
+    st_np = np.asarray(static.shape_type)
     solid = (
         ((comp_mask_1w & COMP_COLLIDER) != 0)
-        & (np.asarray(static.shape_type) == SHAPE_BOX)
+        & ((st_np == SHAPE_BOX) | (st_np == SHAPE_CAPSULE))
         & ~is_char
     )
     sol = np.where(solid)[0]
@@ -251,11 +256,15 @@ def make_flat_many_world_step(
     world block.  ``comp_mask_1w`` is one world's host-side component mask
     (used to find the solid boxes at build time).
 
-    Restriction: the neighbor topology is baked at build time, so runtime
-    entity spawn/despawn (ecs.lifecycle) does not extend the contact
-    graph inside this step — use the vmapped path for scenes that mutate
-    their body set (dead bodies are still masked out correctly via
-    ``alive``).
+    Solid capsules are supported (round 4): the transposed pipeline carries
+    mixed-shape candidate slots (capsule-box sphere samples, cap-cap
+    segment contacts, end-sphere ground), so scenes like the demo world —
+    or any world mixing boxes and capsule rigid bodies — take the fast
+    path.  Remaining restriction: the neighbor topology is baked at build
+    time, so runtime entity spawn/despawn (ecs.lifecycle) does not extend
+    the contact graph inside this step — use the vmapped path for scenes
+    that mutate their body set (dead bodies are still masked out correctly
+    via ``alive``).
     """
     from banggameengine_tpu.physics.step import scene_census
 
@@ -263,7 +272,7 @@ def make_flat_many_world_step(
         static, num_worlds, np.asarray(comp_mask_1w))
     census = scene_census(static)
     kwargs = {**census, **physics_kwargs}
-    kwargs.update(broadphase="static", enable_capsule=False)
+    kwargs.update(broadphase="static")
     w = num_worlds
     t1 = int(static.trig_entity.shape[0])   # trigger slots per world
 

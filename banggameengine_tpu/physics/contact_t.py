@@ -9,12 +9,15 @@ so the VPU runs at full occupancy.  Profiled at N=10k on v5e: narrowphase +
 solve drops from ~70 ms to a few ms.
 
 Scope: box-box + implicit ground plane (the 10k-body stress config, driver
-config #2 — the scene census in :func:`physics.step.physics_step` routes
-box-only worlds here; worlds with solid capsules use the general path).
-The math mirrors ``narrowphase.box_box_sat_mtv`` / ``pair_contacts`` /
-``ground_contacts`` and ``solver.solve_contacts_unified`` exactly (same
-constants, same iteration scheme), replacing Bullet's dispatcher + sequential
-impulse solver (``PhysicsSystem.cpp:124-128``) at scale.
+config #2), plus — when ``shape_type`` is passed — solid CAPSULES in the
+same component form (capsule-box via 3 sampled spheres, capsule-capsule via
+segment closest points, capsule-ground via the two end spheres), so the
+flat many-world path no longer excludes capsule rigid bodies (round-4
+verdict #3).  The math mirrors ``narrowphase.box_box_sat_mtv`` /
+``pair_contacts`` / ``ground_contacts`` and
+``solver.solve_contacts_unified`` exactly (same constants, same iteration
+scheme), replacing Bullet's dispatcher + sequential impulse solver
+(``PhysicsSystem.cpp:124-128``) at scale.
 """
 
 from __future__ import annotations
@@ -37,7 +40,9 @@ Array = jax.Array
 
 _LATERAL_MARGIN = 0.02   # == narrowphase._LATERAL_MARGIN
 K_BB = 17                # 8 + 8 corners + SAT-center fallback
+K_MIX = 7                # 3 cap-box + 3 box-cap + 1 cap-cap slots
 K_GROUND = 8
+_CAP_TS = (0.0, 0.5, 1.0)   # capsule sphere-sample params (narrowphase)
 
 # the 8 corner sign combinations of a box (x, y, z in {-1, +1})
 _SIGNS = [(sx, sy, sz) for sx in (-1.0, 1.0) for sy in (-1.0, 1.0)
@@ -71,6 +76,7 @@ def box_contacts_t(
     ground_valid: Array,  # bool[N] row may contact the ground plane
     budget: int = 12,
     orig_id: Array | None = None,  # i32[N] original (unsorted) body ids
+    shape_type: Array | None = None,  # i8[N] SHAPE_BOX/SHAPE_CAPSULE
 ):
     """Box-box SAT manifolds + ground contacts, compacted per body.
 
@@ -82,10 +88,19 @@ def box_contacts_t(
     ``(orig_partner + 1) * FEAT_STRIDE + candidate_slot`` for pair
     contacts, bare corner index for ground — identical to the dense
     path's scheme so the cache is path-portable.
+
+    With ``shape_type`` (mixed scenes), ``half`` is (radius, half_height,
+    0) for capsule rows and 7 extra candidate slots per pair carry the
+    capsule cases (3 cap-box sphere samples, 3 box-cap, 1 cap-cap),
+    mirroring ``narrowphase.pair_contacts`` slots 17..20; capsule ground
+    contacts use the two end spheres (``narrowphase.ground_contacts``).
     """
+    from banggameengine_tpu.state import SHAPE_CAPSULE
+
     n = pos.shape[0]
     k = nb_idx.shape[1]
     want_feat = orig_id is not None
+    mixed = shape_type is not None
 
     px, py, pz = pos[:, 0], pos[:, 1], pos[:, 2]
     hx, hy, hz = half[:, 0], half[:, 1], half[:, 2]
@@ -104,13 +119,21 @@ def box_contacts_t(
     rows = [px, py, pz, hx, hy, hz] + list(a)
     if want_feat:
         rows.append(orig_id.astype(jnp.float32))
-    packed_t = jnp.stack(rows)                          # [15(+1), N]
+    if mixed:
+        a_cap_n = shape_type == SHAPE_CAPSULE           # [N]
+        rows.append(a_cap_n.astype(jnp.float32))
+    packed_t = jnp.stack(rows)                          # [15(+1)(+1), N]
     g = jax.lax.optimization_barrier(
-        jnp.take(packed_t, safe, axis=1))               # [15(+1), K, N]
+        jnp.take(packed_t, safe, axis=1))               # [., K, N]
     qbx, qby, qbz = g[0], g[1], g[2]
     gx, gy, gz = g[3], g[4], g[5]
     b = tuple(g[6 + i] for i in range(9))               # Rb comps, [K,N]
     partner_orig = g[15] if want_feat else None         # f32 [K,N]
+    if mixed:
+        b_cap = g[16 if want_feat else 15] > 0.5        # bool [K,N]
+        a_cap = jnp.broadcast_to(a_cap_n[None, :], idx_t.shape)
+        a_box_m = ~a_cap
+        b_box_m = ~b_cap
 
     # ---- SAT: 15 axes, component form ---------------------------------
     # R = Ra^T Rb  (r[i][j] = sum_k Ra[k][i] Rb[k][j]), [K,N]
@@ -181,6 +204,8 @@ def box_contacts_t(
     sgn = jnp.where(sgn == 0.0, 1.0, sgn)
     bnx, bny, bnz = bnx * sgn, bny * sgn, bnz * sgn
     overlap = ok_t & ~separated & jnp.isfinite(sat_d)
+    if mixed:
+        overlap = overlap & a_box_m & b_box_m
     sat_d = jnp.where(overlap, sat_d, 0.0)
 
     # ---- manifold candidates (17 slots per pair) ------------------------
@@ -321,13 +346,158 @@ def box_contacts_t(
     slots_depth.append(sat_d)
     slots_valid.append(overlap & (is_edge | ~any_corner))
 
+    # ---- mixed capsule slots (17..23), component form --------------------
+    slots_n = None
+    if mixed:
+        # slots 0..16 share the SAT normal; mixed slots carry their own,
+        # so stage 1 compacts normals alongside points instead of
+        # broadcasting the pair normal
+        slots_n = [(bnx, bny, bnz)] * K_BB
+        # capsule core segments: local +Y column of R scaled by half_height
+        # (= half[:,1]; radius = half[:,0]) — sh.capsule_segment in comps
+        a_axx, a_axy, a_axz = a[1] * hy, a[4] * hy, a[7] * hy   # [N]
+        b_axx, b_axy, b_axz = b[1] * gy, b[4] * gy, b[7] * gy   # [K,N]
+        rad_a = hx                                              # [N]
+        rad_b = gx                                              # [K,N]
+
+        def sphere_vs_box_local(lb0, lb1, lb2, hb0, hb1, hb2):
+            """Closest point on a local-frame box to local point lb
+            (sh.closest_point_on_box in comps) -> (p0,p1,p2, n0,n1,n2,
+            sdist)."""
+            cl0 = jnp.clip(lb0, -hb0, hb0)
+            cl1 = jnp.clip(lb1, -hb1, hb1)
+            cl2 = jnp.clip(lb2, -hb2, hb2)
+            d0, d1, d2 = lb0 - cl0, lb1 - cl1, lb2 - cl2
+            dist = jnp.sqrt(d0 * d0 + d1 * d1 + d2 * d2)
+            outside = dist > 1e-9
+            inv = 1.0 / jnp.maximum(dist, 1e-9)
+            no0, no1, no2 = d0 * inv, d1 * inv, d2 * inv
+            # inside: nearest face
+            f0, f1, f2 = hb0 - jnp.abs(lb0), hb1 - jnp.abs(lb1), \
+                hb2 - jnp.abs(lb2)
+            min_clear = jnp.minimum(jnp.minimum(f0, f1), f2)
+            # argmin tie-break: first axis wins (matches jnp.argmin)
+            ax0 = (f0 <= f1) & (f0 <= f2)
+            ax1 = ~ax0 & (f1 <= f2)
+            ax2 = ~ax0 & ~ax1
+
+            def sgn(x):
+                s = jnp.sign(x)
+                return jnp.where(s == 0.0, 1.0, s)
+
+            ni0 = jnp.where(ax0, sgn(lb0), 0.0)
+            ni1 = jnp.where(ax1, sgn(lb1), 0.0)
+            ni2 = jnp.where(ax2, sgn(lb2), 0.0)
+            pi0 = lb0 + ni0 * min_clear
+            pi1 = lb1 + ni1 * min_clear
+            pi2 = lb2 + ni2 * min_clear
+            p0 = jnp.where(outside, cl0, pi0)
+            p1 = jnp.where(outside, cl1, pi1)
+            p2 = jnp.where(outside, cl2, pi2)
+            n0 = jnp.where(outside, no0, ni0)
+            n1 = jnp.where(outside, no1, ni1)
+            n2 = jnp.where(outside, no2, ni2)
+            sdist = jnp.where(outside, dist, -min_clear)
+            return p0, p1, p2, n0, n1, n2, sdist
+
+        # cap(a) vs box(b): 3 samples of a's segment against b, in b frame
+        gate_ab = ok_t & a_cap & b_box_m
+        for t_ in _CAP_TS:
+            s_ = 2.0 * t_ - 1.0     # seg0 + (seg1-seg0)*t = pos + axis*s
+            cx_ = px + a_axx * s_   # [N] -> broadcasts to [K,N]
+            cy_ = py + a_axy * s_
+            cz_ = pz + a_axz * s_
+            dxw, dyw, dzw = cx_ - qbx, cy_ - qby, cz_ - qbz
+            lb0 = b[0] * dxw + b[3] * dyw + b[6] * dzw
+            lb1 = b[1] * dxw + b[4] * dyw + b[7] * dzw
+            lb2 = b[2] * dxw + b[5] * dyw + b[8] * dzw
+            p0, p1, p2, n0, n1, n2, sd = sphere_vs_box_local(
+                lb0, lb1, lb2, hb[0], hb[1], hb[2])
+            # back to world (normal out of box b = from b toward a)
+            nwx = b[0] * n0 + b[1] * n1 + b[2] * n2
+            nwy = b[3] * n0 + b[4] * n1 + b[5] * n2
+            nwz = b[6] * n0 + b[7] * n1 + b[8] * n2
+            pwx = qbx + b[0] * p0 + b[1] * p1 + b[2] * p2
+            pwy = qby + b[3] * p0 + b[4] * p1 + b[5] * p2
+            pwz = qbz + b[6] * p0 + b[7] * p1 + b[8] * p2
+            d_ = rad_a[None, :] - sd
+            slots_pt.append((pwx, pwy, pwz))
+            slots_depth.append(d_)
+            slots_valid.append(gate_ab)
+            slots_n.append((nwx, nwy, nwz))
+        # box(a) vs cap(b): 3 samples of b's segment against box a
+        gate_ba = ok_t & a_box_m & b_cap
+        for t_ in _CAP_TS:
+            s_ = 2.0 * t_ - 1.0
+            cx_ = qbx + b_axx * s_  # [K,N]
+            cy_ = qby + b_axy * s_
+            cz_ = qbz + b_axz * s_
+            dxw, dyw, dzw = cx_ - px, cy_ - py, cz_ - pz
+            la0 = a[0] * dxw + a[3] * dyw + a[6] * dzw
+            la1 = a[1] * dxw + a[4] * dyw + a[7] * dzw
+            la2 = a[2] * dxw + a[5] * dyw + a[8] * dzw
+            p0, p1, p2, n0, n1, n2, sd = sphere_vs_box_local(
+                la0, la1, la2, ha[0], ha[1], ha[2])
+            # normal out of box a flipped: from b(cap) toward a(box)
+            nwx = -(a[0] * n0 + a[1] * n1 + a[2] * n2)
+            nwy = -(a[3] * n0 + a[4] * n1 + a[5] * n2)
+            nwz = -(a[6] * n0 + a[7] * n1 + a[8] * n2)
+            pwx = px + a[0] * p0 + a[1] * p1 + a[2] * p2
+            pwy = py + a[3] * p0 + a[4] * p1 + a[5] * p2
+            pwz = pz + a[6] * p0 + a[7] * p1 + a[8] * p2
+            d_ = rad_b - sd
+            slots_pt.append((pwx, pwy, pwz))
+            slots_depth.append(d_)
+            slots_valid.append(gate_ba)
+            slots_n.append((nwx, nwy, nwz))
+        # cap-cap: closest points between core segments (Ericson 5.1.9,
+        # sh.closest_segment_segment in comps; segment = p0 -> p1 so
+        # d = 2*axis, r = p1a - p1b with p1 = pos - axis)
+        p1ax, p1ay, p1az = px - a_axx, py - a_axy, pz - a_axz
+        p1bx, p1by, p1bz = qbx - b_axx, qby - b_axy, qbz - b_axz
+        d1x, d1y, d1z = 2.0 * a_axx, 2.0 * a_axy, 2.0 * a_axz
+        d2x, d2y, d2z = 2.0 * b_axx, 2.0 * b_axy, 2.0 * b_axz
+        rx_, ry_, rz_ = p1ax - p1bx, p1ay - p1by, p1az - p1bz
+        aa = d1x * d1x + d1y * d1y + d1z * d1z
+        ee = d2x * d2x + d2y * d2y + d2z * d2z
+        ff = d2x * rx_ + d2y * ry_ + d2z * rz_
+        cc2 = d1x * rx_ + d1y * ry_ + d1z * rz_
+        bb2 = d1x * d2x + d1y * d2y + d1z * d2z
+        den2 = aa * ee - bb2 * bb2
+        s2 = jnp.where(
+            den2 > 1e-12,
+            jnp.clip((bb2 * ff - cc2 * ee) / jnp.maximum(den2, 1e-12),
+                     0.0, 1.0), 0.0)
+        t2 = (bb2 * s2 + ff) / jnp.maximum(ee, 1e-12)
+        t2c = jnp.clip(t2, 0.0, 1.0)
+        s2 = jnp.clip((bb2 * t2c - cc2) / jnp.maximum(aa, 1e-12), 0.0, 1.0)
+        c1x_ = p1ax + d1x * s2
+        c1y_ = p1ay + d1y * s2
+        c1z_ = p1az + d1z * s2
+        c2x_ = p1bx + d2x * t2c
+        c2y_ = p1by + d2y * t2c
+        c2z_ = p1bz + d2z * t2c
+        dlx, dly, dlz = c1x_ - c2x_, c1y_ - c2y_, c1z_ - c2z_
+        segd = jnp.sqrt(dlx * dlx + dly * dly + dlz * dlz)
+        has_dir = segd > 1e-9
+        invd = 1.0 / jnp.maximum(segd, 1e-9)
+        ccnx = jnp.where(has_dir, dlx * invd, 0.0)
+        ccny = jnp.where(has_dir, dly * invd, 1.0)
+        ccnz = jnp.where(has_dir, dlz * invd, 0.0)
+        slots_pt.append((0.5 * (c1x_ + c2x_), 0.5 * (c1y_ + c2y_),
+                         0.5 * (c1z_ + c2z_)))
+        slots_depth.append(rad_a[None, :] + rad_b - segd)
+        slots_valid.append(ok_t & a_cap & b_cap)
+        slots_n.append((ccnx, ccny, ccnz))
+
     # ---- stage 1: cap each pair's manifold at 4 points -------------------
     # (Bullet's own persistent-manifold cap, btPersistentManifold
     # MANIFOLD_CACHE_SIZE=4).  Capping over the 17 candidate slots BEFORE
     # the global budget compaction shrinks stage 2 from [K*17+8, N] rows to
     # [K*4+4, N] — the compaction was the dominant cost of this function.
     cap = 4
-    ptx3 = jnp.stack([s[0] for s in slots_pt])      # [17,K,N]
+    n_slots = len(slots_pt)                         # 17, or 24 mixed
+    ptx3 = jnp.stack([s[0] for s in slots_pt])      # [n_slots,K,N]
     pty3 = jnp.stack([s[1] for s in slots_pt])
     ptz3 = jnp.stack([s[2] for s in slots_pt])
     dep3 = jnp.stack(slots_depth)
@@ -352,15 +522,25 @@ def box_contacts_t(
     ptz = cap_take(ptz3).reshape(m_pair, n)
     dep = cap_take(dep3).reshape(m_pair, n)
     val = cval.reshape(m_pair, n)
-    # normals / partner ids are per-pair constants: broadcast, don't compact
-    nxs = jnp.broadcast_to(bnx, (cap, k, n)).reshape(m_pair, n)
-    nys = jnp.broadcast_to(bny, (cap, k, n)).reshape(m_pair, n)
-    nzs = jnp.broadcast_to(bnz, (cap, k, n)).reshape(m_pair, n)
+    if mixed:
+        # mixed slots carry per-slot normals: compact them like points
+        nx3 = jnp.stack([sn[0] * jnp.ones_like(dep3[0]) for sn in slots_n])
+        ny3 = jnp.stack([sn[1] * jnp.ones_like(dep3[0]) for sn in slots_n])
+        nz3 = jnp.stack([sn[2] * jnp.ones_like(dep3[0]) for sn in slots_n])
+        nxs = cap_take(nx3).reshape(m_pair, n)
+        nys = cap_take(ny3).reshape(m_pair, n)
+        nzs = cap_take(nz3).reshape(m_pair, n)
+    else:
+        # normals are per-pair constants (SAT axis): broadcast, don't
+        # compact
+        nxs = jnp.broadcast_to(bnx, (cap, k, n)).reshape(m_pair, n)
+        nys = jnp.broadcast_to(bny, (cap, k, n)).reshape(m_pair, n)
+        nzs = jnp.broadcast_to(bnz, (cap, k, n)).reshape(m_pair, n)
     prt = jnp.broadcast_to(idx_t, (cap, k, n)).reshape(m_pair, n)
     if want_feat:
         # preserved ORIGINAL candidate-slot ids (stable geometric features)
         slot3 = jax.lax.broadcasted_iota(
-            jnp.int32, (K_BB, k, n), 0).astype(jnp.float32)
+            jnp.int32, (n_slots, k, n), 0).astype(jnp.float32)
         cap_slot = cap_take(slot3).reshape(m_pair, n)
         feat = ((jnp.broadcast_to(partner_orig, (cap, k, n))
                  .reshape(m_pair, n) + 1.0) * float(FEAT_STRIDE) + cap_slot)
@@ -371,6 +551,22 @@ def box_contacts_t(
     g_pty3 = jnp.stack([c[1] for c in ca])
     g_ptz3 = jnp.stack([c[2] for c in ca])
     g_dep3 = -g_pty3
+    if mixed:
+        # capsule rows use their two end spheres instead of box corners
+        # (narrowphase.ground_contacts: slot 0 = pos - axis, 1 = pos + axis,
+        # depth = radius - end_y, point = end with y -= radius)
+        z6 = jnp.zeros((K_GROUND - 2, n), jnp.float32)
+        e_x = jnp.concatenate([jnp.stack([px - a_axx, px + a_axx]), z6])
+        e_y = jnp.concatenate([jnp.stack([py - a_axy, py + a_axy]), z6])
+        e_z = jnp.concatenate([jnp.stack([pz - a_axz, pz + a_axz]), z6])
+        two = jnp.arange(K_GROUND)[:, None] < 2
+        cap_rows = a_cap_n[None, :]
+        g_ptx3 = jnp.where(cap_rows, e_x, g_ptx3)
+        g_pty3 = jnp.where(cap_rows, e_y - jnp.where(two, hx[None, :], 0.0),
+                           g_pty3)
+        g_ptz3 = jnp.where(cap_rows, e_z, g_ptz3)
+        g_dep3 = jnp.where(cap_rows,
+                           jnp.where(two, hx[None, :] - e_y, -1.0), g_dep3)
     g_val3 = ground_valid[None, :] & (g_dep3 > 0.0)
     g_cnt = jnp.sum(g_val3.astype(jnp.int32), axis=0)
     g_dest = jnp.cumsum(g_val3.astype(jnp.int32), axis=0) - 1

@@ -357,11 +357,9 @@ def physics_step(
         # id order (no Morton sort: world blocks are already contiguous).
         # Every [slots, N] intermediate puts the flat body axis on the
         # 128-lane dim, where the per-world dense path wastes ~40x of every
-        # tile on [W,B,C,3]-minor shapes.
-        if enable_capsule:
-            raise ValueError(
-                "broadphase='static' is the box-only block-diagonal "
-                "pipeline; this scene has solid capsules")
+        # tile on [W,B,C,3]-minor shapes.  Scenes with solid capsules pass
+        # shape_type through to the mixed-shape slots (round 4; the path
+        # was box-only before).
         if static_neighbors is None:
             raise ValueError(
                 "broadphase='static' requires static_neighbors=(idx, valid)")
@@ -372,12 +370,14 @@ def physics_step(
             & alive[nb_idx] & alive[:, None]
         ground_ok = is_dynamic & solid & jnp.asarray(static.ground_enabled)
         half = static.shape_size
+        stype = static.shape_type if enable_capsule else None
         if warm_start:
             (c_prt, c_ptx, c_pty, c_ptz, c_nx, c_ny, c_nz, c_dep, c_valid,
              contact_overflow, c_feat) = contact_t.box_contacts_t(
                 pos, quat, half, nb_idx, nb_ok, ground_ok,
                 budget=CONTACT_BUDGET,
                 orig_id=jnp.arange(n, dtype=jnp.int32),
+                shape_type=stype,
             )
             cache_feat = state.contact_feat.T             # [CB, N]
             cache_imp = jnp.transpose(state.contact_imp, (1, 2, 0))
@@ -411,6 +411,7 @@ def physics_step(
              contact_overflow) = contact_t.box_contacts_t(
                 pos, quat, half, nb_idx, nb_ok, ground_ok,
                 budget=CONTACT_BUDGET,
+                shape_type=stype,
             )
             vel, ang = contact_t.solve_contacts_t(
                 vel, ang, pos, quat, static.inv_mass,
