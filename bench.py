@@ -272,12 +272,52 @@ def bench_frame(width=1920, height=1080):
     }
 
 
+def bench_tick(width=1280, height=720, substeps=4):
+    """Interactive fused tick at the reference's default window: 4 fixed
+    substeps (120 Hz sim inside a 30 Hz display frame,
+    Application.cpp:97-101) + one shaded frame, ONE fused dispatch — the
+    loop ``play_demo`` (fused default) runs.  Amortizes the ~2.7 ms
+    per-dispatch tunnel overhead that bounds the split interactive path."""
+    import jax
+    import jax.numpy as jnp
+
+    from banggameengine_tpu.render.camera import Camera
+    from banggameengine_tpu.render.pipeline import make_frame_fn
+    from banggameengine_tpu.state import InputFrame
+
+    built = _load_built_demo()
+    cam = Camera()
+    cam.position[:] = (0.0, 4.0, -10.5)
+    cam.set_yaw_pitch(3.14159 / 2, -0.12)
+    ffn = make_frame_fn(built, width, height, substeps=substeps)
+    state = jax.device_put(built.initial_state)
+    inp = jax.tree.map(jax.device_put, InputFrame.zero())
+    view = jax.device_put(jnp.asarray(cam.view_matrix()))
+    proj = jax.device_put(jnp.asarray(cam.proj_matrix(width / height)))
+    cam_pos = jax.device_put(jnp.asarray(cam.position))
+
+    from banggameengine_tpu.utils.profiling import measure_throughput_chained
+
+    t, _ = measure_throughput_chained(
+        ffn, state, inp, view, proj, cam_pos, calls=10, warmup=2)
+    value = 1.0 / t
+    return {
+        "metric": f"fused interactive ticks/sec ({substeps} substeps + "
+        f"shaded {width}x{height} frame, one dispatch)",
+        "value": round(value, 1),
+        "unit": "ticks/sec",
+        # 30 ticks/s x 4 substeps = the reference's 120 Hz sim bar
+        "vs_baseline": round(value / 30.0, 2),
+    }
+
+
 CONFIGS = {
     "manyworld": bench_manyworld,
     "demo": bench_demo,
     "stress": bench_stress,
     "cull": bench_cull,
     "frame": bench_frame,
+    "tick": bench_tick,
 }
 
 

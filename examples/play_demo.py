@@ -28,9 +28,13 @@ def main():
     p.add_argument("--record", default=None, help="PNG output directory")
     p.add_argument("--overlay", action="store_true", help="physics debug overlay")
     p.add_argument("--platform", default=None, help="cpu|tpu (default: auto)")
-    p.add_argument("--fused", action="store_true",
+    p.add_argument("--fused", action=__import__("argparse").BooleanOptionalAction,
+                   default=True,
                    help="drive the fused interactive tick (substeps + frame "
-                        "in queued dispatches; events carried back)")
+                        "in queued dispatches; events carried back) — the "
+                        "default production path; --no-fused keeps separate "
+                        "step/render dispatches (overlay, HUD raycast, "
+                        "interpolated render states)")
     args = p.parse_args()
 
     if args.platform:
@@ -47,9 +51,11 @@ def main():
     from banggameengine_tpu.app.window import HeadlessWindow
 
     window = HeadlessWindow(args.width, args.height, record_dir=args.record)
+    # the debug overlay renders through the separate step/render path
+    fused = args.fused and not args.overlay
     app = Application(assets_root=args.assets, width=args.width,
-                      height=args.height, fused_tick=args.fused)
-    app.physics_overlay = args.overlay and not args.fused
+                      height=args.height, fused_tick=fused)
+    app.physics_overlay = args.overlay
 
     cj = app.built.find_entity("cj")
     total = int(args.seconds * args.fps)
