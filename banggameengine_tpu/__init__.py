@@ -45,6 +45,36 @@ def _enable_compilation_cache() -> None:
 
 _enable_compilation_cache()
 
+
+def _force_f32_matmuls() -> None:
+    """f32-exact matmul precision engine-wide.
+
+    TPU MXU matmuls default to rounding f32 operands to bf16 (~3 decimal
+    digits).  The engine leans on matmul CONTRACTIONS as data movement —
+    one-hot compaction/selection of f32 payload rows (solver partner
+    velocities, warm-start impulse matching, the deferred shade resolve)
+    — where bf16 rounding silently corrupts the payload: measured on
+    chip, one engine step diverged 1.1e-2 in contact-impulse velocity
+    between the flat and vmapped many-world layouts (identical math,
+    different contraction shapes) purely from operand rounding.  With
+    ``highest`` (the exact 3x-bf16 decomposition) the layouts agree to
+    1e-6 and every one-hot select returns its f32 rows bit-exactly.
+    Physics parity with the f32 Bullet reference requires this; the few
+    throughput-critical matmuls are small enough that the extra MXU
+    passes never show up in the benches.  Callers wanting bf16 speed in
+    their own code can locally override with
+    ``jax.default_matmul_precision('default')``.
+    """
+    try:
+        import jax
+
+        jax.config.update("jax_default_matmul_precision", "highest")
+    except Exception:
+        pass
+
+
+_force_f32_matmuls()
+
 from banggameengine_tpu import math3d  # noqa: F401
 from banggameengine_tpu.state import (  # noqa: F401
     InputFrame,

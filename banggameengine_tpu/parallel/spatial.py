@@ -149,21 +149,33 @@ def local_rows_contact_solve(
 
     zeros = jnp.zeros_like(c_d)
 
+    # heavy-ball extrapolation over the lambda iterates, mirroring
+    # solver.solve_contacts_unified's momentum=0.5 default op-for-op (the
+    # dense engine path this shard-parallel solve must match row-by-row)
+    momentum = 0.5
+
     def body(_, carry):
-        v_l, w_l, v_f, w_f, ln, lt1, lt2 = carry
+        v_l, w_l, v_f, w_f, ln, lt1, lt2, pln, plt1, plt2 = carry
         vr = rel_vel(v_f, w_f, v_l, w_l)
         vn = jnp.sum(vr * c_n, -1)
         dln = (-(vn - target)) / kn
         ln_new = jnp.maximum(ln + dln, 0.0)
+        ln_new = jnp.maximum(ln_new + momentum * (ln_new - pln), 0.0)
         dln = jnp.where(c_valid, ln_new - ln, 0.0)
+        pln = ln
         ln = jnp.where(c_valid, ln_new, ln)
         vt1 = jnp.sum(vr * t1, -1)
         vt2 = jnp.sum(vr * t2, -1)
         mx_f2 = c_mu * ln
-        l1n = jnp.clip(lt1 - vt1 / kt1, -mx_f2, mx_f2)
-        l2n = jnp.clip(lt2 - vt2 / kt2, -mx_f2, mx_f2)
+        l1n = lt1 - vt1 / kt1
+        l2n = lt2 - vt2 / kt2
+        l1n = l1n + momentum * (l1n - plt1)
+        l2n = l2n + momentum * (l2n - plt2)
+        l1n = jnp.clip(l1n, -mx_f2, mx_f2)
+        l2n = jnp.clip(l2n, -mx_f2, mx_f2)
         d1 = jnp.where(c_valid, l1n - lt1, 0.0)
         d2 = jnp.where(c_valid, l2n - lt2, 0.0)
+        plt1, plt2 = lt1, lt2
         lt1 = jnp.where(c_valid, l1n, lt1)
         lt2 = jnp.where(c_valid, l2n, lt2)
         imp = (dln[..., None] * c_n + d1[..., None] * t1
@@ -175,9 +187,10 @@ def local_rows_contact_solve(
         # halo exchange: everyone sees the new velocities (ICI)
         v_f = jax.lax.all_gather(v_l, axis_name, tiled=True)
         w_f = jax.lax.all_gather(w_l, axis_name, tiled=True)
-        return v_l, w_l, v_f, w_f, ln, lt1, lt2
+        return v_l, w_l, v_f, w_f, ln, lt1, lt2, pln, plt1, plt2
 
-    carry = (vel_l, ang_l, vel_f, ang_f, zeros, zeros, zeros)
+    carry = (vel_l, ang_l, vel_f, ang_f, zeros, zeros, zeros,
+             zeros, zeros, zeros)
     carry = jax.lax.fori_loop(0, iterations, body, carry)
     return carry[0], carry[1], carry[2], carry[3]
 

@@ -90,18 +90,25 @@ def render_frame(
     )
 
     tiled = None
-    if depth_only or shade_mode != "tiled":
+    if depth_only:
+        # slim carry: the depth pass needs neither tri ids nor barycentrics
+        vis, _overflow = rz.rasterize(
+            clip, tri_valid, width, height, bin_capacity=bin_capacity,
+            backend=raster_backend, slim=True,
+        )
+        return vis.depth
+    if shade_mode != "tiled":
         vis, _overflow = rz.rasterize(
             clip, tri_valid, width, height, bin_capacity=bin_capacity,
             backend=raster_backend,
         )
     else:
+        # slim carry (depth+slot only); the tiled shade recomputes
+        # tid/b1/b2 for the winning triangle per pixel (bit-identical)
         vis, _overflow, tiled = rz.rasterize(
             clip, tri_valid, width, height, bin_capacity=bin_capacity,
-            return_tiled=True, backend=raster_backend,
+            return_tiled=True, backend=raster_backend, slim=True,
         )
-    if depth_only:
-        return vis.depth
 
     normal_mats = math3d.normal_matrix(world_mats)
     world_nrm = rz.transform_normals(rs.v_nrm, rs.v_entity, normal_mats)
@@ -118,11 +125,14 @@ def render_frame(
             camera_pos, light, view, proj,
             # pallas resolve covers the HEAVY slot space too (no
             # per-frame row-gather fallback; the one-hot lives in VMEM so
-            # a wider KL costs only MXU flops); the XLA resolve would
-            # materialize [tiles, px, KL] through HBM, so it keeps the
-            # light-list width and falls back for heavy winners
+            # a wider KL costs only MXU flops); the XLA resolve keeps the
+            # light-list width for all tiles and runs a SECOND, wider
+            # resolve over just the heavy-pass tiles (widths must match
+            # the raster walk: light = K_GLOBAL + light_capacity, heavy =
+            # K_GLOBAL + heavy_capacity rasterize defaults)
             shade_slots=rz.K_GLOBAL + (
                 256 if resolve_backend.startswith("pallas") else 48),
+            heavy_shade_slots=rz.K_GLOBAL + 256,
             resolve_backend=resolve_backend,
             wireframe=wireframe,
             textures_quad=getattr(rs, "textures_quad", None),

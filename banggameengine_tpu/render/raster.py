@@ -68,13 +68,27 @@ class TiledVisibility(NamedTuple):
     """Tile-major visibility planes + per-tile triangle lists, the input
     the deferred shader's per-tile one-hot resolve wants (avoids the big
     global per-pixel attribute gather).  ``slot`` indexes each pixel's
-    winning triangle within this tile's ``ids`` row (-1 = background)."""
+    winning triangle within this tile's ``ids`` row (-1 = background).
+
+    ``sub_raster`` is the per-SUB-triangle screen-space table the shader
+    needs to RECOMPUTE barycentrics per pixel (slim raster carry): f32[12, S]
+    rows = (sx0, sx1, sx2, sy0, sy1, sy2, cb01, cb11, cb21, cb02, cb12,
+    cb22).  ``b1``/``b2`` are None in slim mode — the raster scan then
+    carries only (depth, slot), 2 framebuffer planes instead of 5."""
 
     depth: Array    # f32[tiles, TH, TW]
     slot: Array     # i32[tiles, TH, TW] index into ids[tile], -1 = bg
-    b1: Array       # f32[tiles, TH, TW]
-    b2: Array       # f32[tiles, TH, TW]
+    b1: Array | None       # f32[tiles, TH, TW] (None in slim mode)
+    b2: Array | None       # f32[tiles, TH, TW] (None in slim mode)
     ids: Array      # i32[tiles, K] sub-triangle ids per tile (-1 padded)
+    sub_raster: Array | None = None   # f32[12, S] (slim mode only)
+    # heavy-pass bookkeeping: the tiles the heavy re-raster MAY have
+    # overwritten, and which of them it actually did.  The deferred shade
+    # uses these for a second, wider one-hot resolve over just those
+    # tiles instead of a per-pixel row-gather fallback (the multi-dim
+    # take measured ~27 ms/frame on chip).
+    heavy: Array | None = None        # i32[heavy_tiles] tile indices
+    heavy_needs: Array | None = None  # bool[heavy_tiles]
 
 
 def transform_vertices(v_pos, v_entity, world_mats, view, proj):
@@ -325,13 +339,21 @@ def bin_triangles(tri, width: int, height: int,
 
 
 def _raster_tile(tile_x0, tile_y0, g_x, g_y, g_z, g_oid, g_cb, g_ok,
-                 chunk: int):
+                 chunk: int, slim: bool = False):
     """Visibility raster of one tile over PRE-GATHERED sub-triangle data.
 
     g_* are this tile's triangle arrays ([K,3] screen coords / depth,
     [K] original ids, [K,3,3] original-space corner barycentrics, [K]
     validity) — gathered once outside the pixel loop so the chunk scan is
     pure vector math (no gathers on the hot path).
+
+    ``slim=True`` carries only (depth, slot) through the chunk scan — 2
+    framebuffer planes instead of 5 — and skips the per-(triangle, pixel)
+    barycentric mapping entirely; the deferred shader recomputes
+    tid/b1/b2 for the single WINNING triangle per pixel from the resolved
+    screen coords (bit-identical math, once per pixel instead of once per
+    triangle-pixel pair).  Returns (zbuf, tid|None, b1|None, b2|None,
+    slot).
     """
     k = g_ok.shape[0]
     px = tile_x0 + jnp.arange(TILE_W, dtype=jnp.float32)[None, :] + 0.5
@@ -340,9 +362,8 @@ def _raster_tile(tile_x0, tile_y0, g_x, g_y, g_z, g_oid, g_cb, g_ok,
     n_chunks = k // chunk
     ch = lambda a: a.reshape((n_chunks, chunk) + a.shape[1:])
 
-    def chunk_body(carry, data):
-        zbuf, tid, b1b, b2b, slotb = carry
-        chunk_off, x, y, zz, oid, cb, okc = data      # [C,...]
+    def chunk_depth(x, y, zz, okc):
+        """Per-chunk coverage + depth over the pixel block ([C,TH,TW])."""
         x0, x1, x2 = x[:, 0, None, None], x[:, 1, None, None], x[:, 2, None, None]
         y0, y1, y2 = y[:, 0, None, None], y[:, 1, None, None], y[:, 2, None, None]
         pxb = px[None]                                # [1,TH,TW]
@@ -367,6 +388,23 @@ def _raster_tile(tile_x0, tile_y0, g_x, g_y, g_z, g_oid, g_cb, g_ok,
         )
         ok = cover & okc[:, None, None] & (depth >= 0.0) & (depth <= 1.0)
         depth = jnp.where(ok, depth, jnp.inf)
+        return depth, b1, b2, b0
+
+    def chunk_body_slim(carry, data):
+        zbuf, slotb = carry
+        chunk_off, x, y, zz, okc = data               # [C,...]
+        depth, _, _, _ = chunk_depth(x, y, zz, okc)
+        best = jnp.argmin(depth, axis=0)              # [TH,TW]
+        d_best = jnp.min(depth, axis=0)
+        better = d_best < zbuf
+        zbuf = jnp.where(better, d_best, zbuf)
+        slotb = jnp.where(better, chunk_off + best, slotb)
+        return (zbuf, slotb), None
+
+    def chunk_body(carry, data):
+        zbuf, tid, b1b, b2b, slotb = carry
+        chunk_off, x, y, zz, oid, cb, okc = data      # [C,...]
+        depth, b1, b2, b0 = chunk_depth(x, y, zz, okc)
         # map sub-space bary -> original-triangle bary (components 1, 2)
         ob1 = b0 * cb[:, None, None, 0, 1] + b1 * cb[:, None, None, 1, 1] \
             + b2 * cb[:, None, None, 2, 1]
@@ -390,20 +428,31 @@ def _raster_tile(tile_x0, tile_y0, g_x, g_y, g_z, g_oid, g_cb, g_ok,
         slotb = jnp.where(better, chunk_off + best, slotb)
         return (zbuf, tid, b1b, b2b, slotb), None
 
-    init = (
-        jnp.full((TILE_H, TILE_W), jnp.inf, jnp.float32),
-        jnp.full((TILE_H, TILE_W), -1, jnp.int32),
-        jnp.zeros((TILE_H, TILE_W), jnp.float32),
-        jnp.zeros((TILE_H, TILE_W), jnp.float32),
-        jnp.full((TILE_H, TILE_W), -1, jnp.int32),
-    )
-    data = (jnp.arange(n_chunks, dtype=jnp.int32) * chunk,
-            ch(g_x), ch(g_y), ch(g_z), ch(g_oid), ch(g_cb), ch(g_ok))
-    # unroll=2: the scan carries five [tiles,32,128] planes through HBM
-    # every iteration (~84 MB r+w at 1080p); unrolling halves the
-    # round-trips by keeping the carry live across the fused pair
-    (zbuf, tid, b1b, b2b, slotb), _ = jax.lax.scan(
-        chunk_body, init, data, unroll=2)
+    # unroll=2: the scan carries the [tiles,32,128] planes through HBM
+    # every iteration; unrolling halves the round-trips by keeping the
+    # carry live across the fused pair
+    chunk_offs = jnp.arange(n_chunks, dtype=jnp.int32) * chunk
+    if slim:
+        init = (
+            jnp.full((TILE_H, TILE_W), jnp.inf, jnp.float32),
+            jnp.full((TILE_H, TILE_W), -1, jnp.int32),
+        )
+        data = (chunk_offs, ch(g_x), ch(g_y), ch(g_z), ch(g_ok))
+        (zbuf, slotb), _ = jax.lax.scan(
+            chunk_body_slim, init, data, unroll=2)
+        tid = b1b = b2b = None
+    else:
+        init = (
+            jnp.full((TILE_H, TILE_W), jnp.inf, jnp.float32),
+            jnp.full((TILE_H, TILE_W), -1, jnp.int32),
+            jnp.zeros((TILE_H, TILE_W), jnp.float32),
+            jnp.zeros((TILE_H, TILE_W), jnp.float32),
+            jnp.full((TILE_H, TILE_W), -1, jnp.int32),
+        )
+        data = (chunk_offs, ch(g_x), ch(g_y), ch(g_z), ch(g_oid), ch(g_cb),
+                ch(g_ok))
+        (zbuf, tid, b1b, b2b, slotb), _ = jax.lax.scan(
+            chunk_body, init, data, unroll=2)
     zbuf = jnp.where(jnp.isfinite(zbuf), zbuf, 1.0)
     return zbuf, tid, b1b, b2b, slotb
 
@@ -413,11 +462,18 @@ def rasterize(clip, tri_valid, width: int, height: int,
               light_capacity: int = 48, heavy_tiles: int = 64,
               heavy_capacity: int = 256,
               backend: str = "auto", return_tiled: bool = False,
+              slim: bool = False,
               ):
     """Full visibility pass.  width/height are padded up to tile multiples
     internally; outputs are cropped back.  Returns (vis, bin_overflow), or
     (vis, overflow, tiled: TiledVisibility) with ``return_tiled=True`` (the
     deferred shader's per-tile one-hot resolve input).
+
+    ``slim=True`` (XLA backend only): the tile scan carries just
+    (depth, slot) — tri_id/b1/b2 come back None and the tiled shader
+    recomputes them per pixel from ``tiled.sub_raster`` (bit-identical).
+    Use for the depth-only and tiled-shade paths; the flat gather shade
+    needs the full carry.
 
     **Light/heavy split**: triangle density per tile is highly skewed (a
     detailed mesh concentrates thousands of triangles in a few tiles while
@@ -484,6 +540,8 @@ def rasterize(clip, tri_valid, width: int, height: int,
     if backend in ("pallas", "pallas_interpret"):
         from banggameengine_tpu.render.raster_pallas import raster_tiles_pallas
 
+        slim = False  # the pallas kernel writes the full 5-plane carry
+
         def raster(d, tile_idx, x0, y0, _tiles_x=tiles_x):
             del x0, y0  # kernel derives tile origins from tile_idx
             return raster_tiles_pallas(
@@ -496,7 +554,7 @@ def rasterize(clip, tri_valid, width: int, height: int,
         raster = jax.vmap(
             lambda d, x0, y0: _raster_tile(
                 x0, y0, d["x"], d["y"], d["z"], d["oid"], d["cb"], d["ok"],
-                chunk,
+                chunk, slim=slim,
             ),
             in_axes=(0, 0, 0),
         )
@@ -514,6 +572,7 @@ def rasterize(clip, tri_valid, width: int, height: int,
     # frames — density is skewed only when a dense mesh fills few tiles)
     # skip the whole re-raster at RUNTIME, not just mask its writes.
     h = min(heavy_tiles, n_tiles)
+    heavy_sel = heavy_needs = None
     if ids.shape[1] > kl and h > 0:
         # the light pass walks ALL global slots plus the first
         # ``kl - K_GLOBAL`` LOCAL slots, so a tile needs the heavy pass
@@ -522,6 +581,7 @@ def rasterize(clip, tri_valid, width: int, height: int,
         # not interleaved)
         light_local_cap = kl - K_GLOBAL
         heavy_sel = jax.lax.top_k(local_counts, h)[1]      # tile indices
+        heavy_needs = local_counts[heavy_sel] > light_local_cap
         # the heavy pass re-rasters at ``heavy_capacity`` LOCAL slots, not
         # the full bin capacity: the demo's worst tiles hold ~170 locals
         # while the bin list is 2048 deep — re-rastering the whole list
@@ -533,20 +593,17 @@ def rasterize(clip, tri_valid, width: int, height: int,
         heavy_local_cap = kh - K_GLOBAL
 
         def heavy_branch(bufs):
-            zb, tid, b1, b2, slot = bufs
-            zb_h, tid_h, b1_h, b2_h, slot_h = raster(
+            outs_h = raster(
                 gathered(ids[heavy_sel][:, :kh]), heavy_sel.astype(jnp.int32),
                 tx[heavy_sel], ty[heavy_sel]
             )
             # only overwrite tiles that actually exceeded the light capacity
-            needs = (local_counts[heavy_sel] > light_local_cap)[:, None, None]
-            zb = zb.at[heavy_sel].set(jnp.where(needs, zb_h, zb[heavy_sel]))
-            tid = tid.at[heavy_sel].set(jnp.where(needs, tid_h, tid[heavy_sel]))
-            b1 = b1.at[heavy_sel].set(jnp.where(needs, b1_h, b1[heavy_sel]))
-            b2 = b2.at[heavy_sel].set(jnp.where(needs, b2_h, b2[heavy_sel]))
-            slot = slot.at[heavy_sel].set(
-                jnp.where(needs, slot_h, slot[heavy_sel]))
-            return zb, tid, b1, b2, slot
+            needs = heavy_needs[:, None, None]
+            return tuple(
+                None if cur is None else cur.at[heavy_sel].set(
+                    jnp.where(needs, hv, cur[heavy_sel]))
+                for cur, hv in zip(bufs, outs_h)
+            )
 
         zb, tid, b1, b2, slot = jax.lax.cond(
             jnp.any(local_counts > light_local_cap), heavy_branch,
@@ -562,6 +619,8 @@ def rasterize(clip, tri_valid, width: int, height: int,
         overflow = overflow + total_over - covered
 
     def untile(a):
+        if a is None:
+            return None
         a = a.reshape(tiles_y, tiles_x, TILE_H, TILE_W)
         a = jnp.transpose(a, (0, 2, 1, 3)).reshape(rh, rw)
         return a[:height, :width]
@@ -573,6 +632,17 @@ def rasterize(clip, tri_valid, width: int, height: int,
         b2=untile(b2),
     )
     if return_tiled:
-        tiled = TiledVisibility(depth=zb, slot=slot, b1=b1, b2=b2, ids=ids)
+        sub_raster = None
+        if slim:
+            sx, sy, cb = tri["sx"], tri["sy"], sub_bary
+            sub_raster = jnp.stack([
+                sx[:, 0], sx[:, 1], sx[:, 2],
+                sy[:, 0], sy[:, 1], sy[:, 2],
+                cb[:, 0, 1], cb[:, 1, 1], cb[:, 2, 1],
+                cb[:, 0, 2], cb[:, 1, 2], cb[:, 2, 2],
+            ])                                         # [12, S]
+        tiled = TiledVisibility(depth=zb, slot=slot, b1=b1, b2=b2, ids=ids,
+                                sub_raster=sub_raster,
+                                heavy=heavy_sel, heavy_needs=heavy_needs)
         return vis, overflow, tiled
     return vis, overflow

@@ -389,6 +389,7 @@ def shade_visibility_tiled(
     camera_pos: Array, light: LightParams,
     view: Array, proj: Array,
     shade_slots: int = 64,
+    heavy_shade_slots: int = 0,
     wireframe: bool = False,
     textures_quad: Array | None = None,
     textures_quad_t: Array | None = None,
@@ -403,7 +404,14 @@ def shade_visibility_tiled(
     framebuffer-sized f32 transposes anywhere.  Winning slots beyond KL
     (heavy-pass tiles) fall back to the row gather under a runtime-skipped
     ``lax.cond``.  Bit-exact vs :func:`shade_visibility` (the one-hot
-    selects whole f32 rows).  Returns u8[H,W,4]."""
+    selects whole f32 rows).  Returns u8[H,W,4].
+
+    With a SLIM visibility input (``tiled.b1 is None`` — the raster scan
+    carried only depth+slot), the per-sub-triangle screen rows
+    (``tiled.sub_raster``) join the resolve table and the barycentrics are
+    recomputed here once per pixel with the exact op sequence the full
+    raster carry used — bit-identical output, 3 fewer framebuffer planes
+    through the raster scan."""
     from banggameengine_tpu.render.raster import TILE_H, TILE_W
 
     n_tiles, th, tw = tiled.slot.shape
@@ -417,10 +425,22 @@ def shade_visibility_tiled(
         mat_base_tint, mat_uv_scale, mat_spec_color, mat_tex, tex_size,
         reconstruct_wp=True)
 
+    slim = tiled.b1 is None
     kl = min(shade_slots, tiled.ids.shape[1])
     ids_kl = tiled.ids[:, :kl]
-    # sub-triangle id -> original triangle row (near-clip emits 2 subs)
-    tables = tri_row_t.T[jnp.maximum(ids_kl, 0) // 2]      # [tiles, KL, C]
+    if slim:
+        # per-SUB-triangle table: each original triangle's channels
+        # repeated for its (up to) 2 near-clip subs, plus the 12
+        # screen-space raster rows (corner coords + original-space corner
+        # barycentrics) the per-pixel bary recomputation needs
+        rb = tri_row_t.shape[0]                        # raster rows base
+        sub_row_t = jnp.concatenate(
+            [jnp.repeat(tri_row_t, 2, axis=1), tiled.sub_raster], axis=0)
+        tables = sub_row_t.T[jnp.maximum(ids_kl, 0)]       # [tiles, KL, C+12]
+    else:
+        # sub-triangle id -> original triangle row (near-clip emits 2 subs)
+        sub_row_t = None
+        tables = tri_row_t.T[jnp.maximum(ids_kl, 0) // 2]  # [tiles, KL, C]
 
     slot_p = tiled.slot.reshape(n_tiles, px_per_tile)
     # heavy-pass winners beyond the resolve table take a row-gather
@@ -428,9 +448,11 @@ def shade_visibility_tiled(
     need_fb = slot_p >= kl
 
     def _fb_rows():
-        tid_t = jnp.take_along_axis(
-            tiled.ids, jnp.maximum(slot_p, 0), axis=1) // 2
-        return jnp.take(tri_row_t, jnp.where(need_fb, tid_t, 0),
+        sid = jnp.take_along_axis(tiled.ids, jnp.maximum(slot_p, 0), axis=1)
+        if slim:
+            return jnp.take(sub_row_t, jnp.where(need_fb, sid, 0),
+                            axis=1)                        # [C+12, t, px]
+        return jnp.take(tri_row_t, jnp.where(need_fb, sid // 2, 0),
                         axis=1)                            # [C, t, px]
 
     if resolve_backend in ("pallas", "pallas_interpret"):
@@ -444,28 +466,88 @@ def shade_visibility_tiled(
             lambda r: r, resolved_cp)
         get = lambda c: resolved_cp[c]
     else:
-        oh = (slot_p[..., None] == jnp.arange(kl)[None, None, :]).astype(
-            jnp.float32)                                   # [tiles, px, KL]
-        # materialize the one-hot ONCE: without the barrier XLA fuses the
-        # compare into the contraction and lowers it as one slice+reduce
-        # fusion PER CHANNEL on the VPU (~28 x 1.4 ms measured) instead of
-        # a single batched MXU matmul
-        oh = jax.lax.optimization_barrier(oh)
-        # batch t, contract KL: [t, C, KL] x [t, px, KL] -> [t, C, px],
-        # then ONE relayout to channel-leading [C, t, px] so every get(c)
-        # is a contiguous plane (middle-dim slices re-read at sublane
-        # granularity, ~8x the bytes per channel)
-        resolved = jax.lax.dot_general(
-            jnp.swapaxes(tables, 1, 2), oh,
-            dimension_numbers=(((2,), (2,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32)
-        resolved_cp = jax.lax.optimization_barrier(
-            jnp.transpose(resolved, (1, 0, 2)))
-        resolved_cp = jax.lax.cond(
-            jnp.any(need_fb),
-            lambda r: jnp.where(need_fb[None], _fb_rows(), r),
-            lambda r: r, resolved_cp)
-        get = lambda c: resolved_cp[c]
+        def onehot_resolve(tabs, slots, k):
+            """[n, k, C] tables + [n, px] slots -> [n, C, px] via bf16
+            one-hot MXU contractions.
+
+            The one-hot is built in bf16 (0/1 are exact; HALF the HBM
+            traffic of the f32 one-hot — the dominant cost of this
+            resolve) and materialized ONCE behind a barrier: without it
+            XLA fuses the compare into the contraction and lowers it as
+            one slice+reduce fusion PER CHANNEL on the VPU (~28 x 1.4 ms
+            measured).  Per-operand precision keeps the f32 payload rows
+            EXACT (HIGHEST = 3x-bf16 split) while the already-bf16
+            one-hot side stays single-pass.
+
+            Contractions WIDER than 128 slots are chunked into <=128-slot
+            dots and summed: XLA implements the wide-K batched dot
+            channel-by-channel on the VPU, re-reading the whole one-hot
+            per channel (the 40 x 1.42 ms slice_reduce fusions in the
+            round-4 device trace).  The sum is exact — every pixel's slot
+            lands in exactly one chunk, the rest contribute zeros."""
+            parts = []
+            for lo in range(0, k, 128):
+                kc = min(128, k - lo)
+                ohc = (slots[..., None]
+                       == (lo + jnp.arange(kc))[None, None, :]).astype(
+                           jnp.bfloat16)                   # [n, px, kc]
+                ohc = jax.lax.optimization_barrier(ohc)
+                parts.append(jax.lax.dot_general(
+                    jnp.swapaxes(tabs[:, lo:lo + kc, :], 1, 2), ohc,
+                    dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+                    preferred_element_type=jnp.float32,
+                    precision=(jax.lax.Precision.HIGHEST,
+                               jax.lax.Precision.DEFAULT)))
+            res = parts[0]
+            for p in parts[1:]:
+                res = res + p
+            # barrier the dot itself so the channel-leading transpose
+            # below stays a pure relayout copy
+            return jax.lax.optimization_barrier(res)
+
+        # batch t, contract KL: [t, C, KL] x [t, px, KL] -> [t, C, px]
+        resolved = onehot_resolve(tables, slot_p, kl)
+        covered = kl
+        if tiled.heavy is not None and heavy_shade_slots > kl:
+            # heavy-pass tiles get a SECOND, wider resolve over their own
+            # id lists (covering the heavy raster's slot space) instead of
+            # the per-pixel row-gather fallback — the multi-dim take
+            # measured ~27 ms/frame on chip vs ~2 ms for this contraction
+            # over the <=64 heavy tiles
+            kh = min(heavy_shade_slots, tiled.ids.shape[1])
+            hsel = tiled.heavy
+            ids_h = tiled.ids[hsel][:, :kh]
+            tab_h = (sub_row_t.T[jnp.maximum(ids_h, 0)] if slim
+                     else tri_row_t.T[jnp.maximum(ids_h, 0) // 2])
+            res_h = onehot_resolve(tab_h, slot_p[hsel], kh)
+            res_h = jnp.where(tiled.heavy_needs[:, None, None], res_h,
+                              resolved[hsel])
+            resolved = resolved.at[hsel].set(res_h)
+            covered = kh
+        # split into per-channel [t, px] planes behind ONE barrier.  Do
+        # NOT transpose to [C, t, px] and slice that: XLA folds the
+        # transpose into a LAYOUT relabel (barriers pin values, not
+        # layouts), leaving channels on the minor dim lane-padded 40->128
+        # — every per-channel slice then physically re-reads the whole
+        # ~1 GB padded array (40 x 1.42 ms of slice_reduce fusions in the
+        # round-4 device trace, the entire tiled-shade anomaly).
+        # Separate plane buffers are layout-proof.
+        n_chan = resolved.shape[1]
+        planes = jax.lax.optimization_barrier(
+            tuple(resolved[:, c, :] for c in range(n_chan)))
+        # safety net for winners beyond the resolved slot space (only
+        # reachable when the caller's shade/heavy widths understate the
+        # raster's walk widths); runtime-skipped otherwise
+        need_fb = slot_p >= covered
+
+        def _fb_planes(planes_):
+            rows = _fb_rows()                           # [C, t, px]
+            return tuple(jnp.where(need_fb, rows[c], p)
+                         for c, p in enumerate(planes_))
+
+        planes = jax.lax.cond(
+            jnp.any(need_fb), _fb_planes, lambda p: p, planes)
+        get = lambda c: planes[c]
 
     # tile-major pixel coordinates (+0.5 centers)
     tile_ids = jnp.arange(n_tiles, dtype=jnp.int32)
@@ -478,8 +560,25 @@ def shade_visibility_tiled(
     pxc = ox[:, None] + xi[None, :] + 0.5                  # [tiles, px]
     pyc = oy[:, None] + yi[None, :] + 0.5
 
-    b1 = tiled.b1.reshape(n_tiles, px_per_tile)
-    b2 = tiled.b2.reshape(n_tiles, px_per_tile)
+    if slim:
+        # recompute the winning triangle's barycentrics ONCE per pixel,
+        # replicating the raster scan's exact op sequence (raster.py
+        # chunk_depth + the ob1/ob2 mapping) so the output is
+        # bit-identical to the full-carry path
+        sx0, sx1, sx2 = get(rb), get(rb + 1), get(rb + 2)
+        sy0, sy1, sy2 = get(rb + 3), get(rb + 4), get(rb + 5)
+        e0 = (sx1 - sx0) * (pyc - sy0) - (sy1 - sy0) * (pxc - sx0)
+        e2 = (sx0 - sx2) * (pyc - sy2) - (sy0 - sy2) * (pxc - sx2)
+        area = (sx1 - sx0) * (sy2 - sy0) - (sy1 - sy0) * (sx2 - sx0)
+        inv_area = 1.0 / jnp.where(jnp.abs(area) > 1e-9, area, 1e-9)
+        sb1 = e2 * inv_area
+        sb2 = e0 * inv_area
+        sb0 = 1.0 - sb1 - sb2
+        b1 = sb0 * get(rb + 6) + sb1 * get(rb + 7) + sb2 * get(rb + 8)
+        b2 = sb0 * get(rb + 9) + sb1 * get(rb + 10) + sb2 * get(rb + 11)
+    else:
+        b1 = tiled.b1.reshape(n_tiles, px_per_tile)
+        b2 = tiled.b2.reshape(n_tiles, px_per_tile)
     ndc_z = tiled.depth.reshape(n_tiles, px_per_tile)
     background = slot_p < 0
 

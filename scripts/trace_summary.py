@@ -90,8 +90,17 @@ def build_frame(shade_mode):
     fn = jax.jit(functools.partial(
         render_frame, width=1920, height=1080, bin_capacity=2048,
         shade_mode=shade_mode))
+    # settle the sim first (dense character mesh in view -> the heavy
+    # raster pass and heavy-tile shade resolve run, as in any real frame)
+    from banggameengine_tpu.engine import make_multi_step_fn
+    from banggameengine_tpu.state import InputFrame
+
+    settle = make_multi_step_fn(built.static, 480)
+    settled = settle(jax.tree.map(jnp.array, built.initial_state),
+                     InputFrame.zero())
+    settled = settled[0] if isinstance(settled, tuple) else settled
     args = (jax.device_put(built.render),
-            jax.device_put(built.initial_state.world),
+            jax.device_put(settled.world),
             jax.device_put(jnp.asarray(cam.view_matrix())),
             jax.device_put(jnp.asarray(cam.proj_matrix(1920 / 1080))),
             jax.device_put(jnp.asarray(cam.position)))

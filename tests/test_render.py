@@ -218,18 +218,72 @@ class TestDemoRender:
         assert non_sky[h - 10].mean() > 0.9
 
     def test_tiled_resolve_matches_gather_shade(self, demo):
-        """The per-tile one-hot MXU resolve must be BIT-EXACT against the
-        global row-gather shade (the one-hot selects whole f32 rows)."""
+        """The per-tile one-hot MXU resolve against the global row-gather
+        shade.  The one-hot selects whole f32 rows, so the resolve itself
+        is exact; the SLIM raster carry recomputes the winning triangle's
+        barycentrics per pixel with the same op sequence, where XLA's
+        FMA-contraction choices may differ between the two fusion contexts
+        — tolerance is ±1 u8 LSB on a tiny fraction of edge pixels."""
         cam = Camera()
         state = demo.initial_state
         w, h = 320, 180
         args = (demo.render, state.world, cam.view_matrix(),
                 cam.proj_matrix(w / h), jnp.asarray(cam.position))
         a = np.asarray(render_frame(*args, width=w, height=h,
-                                    shade_mode="tiled"))
+                                    shade_mode="tiled")).astype(int)
         b = np.asarray(render_frame(*args, width=w, height=h,
-                                    shade_mode="gather"))
-        np.testing.assert_array_equal(a, b)
+                                    shade_mode="gather")).astype(int)
+        d = np.abs(a - b)
+        assert d.max() <= 1, f"max u8 delta {d.max()}"
+        assert (d > 0).mean() < 1e-3, f"{(d > 0).mean():.2%} pixels differ"
+
+    def test_slim_raster_matches_full_carry(self, demo):
+        """Slim (depth+slot) raster carry + in-shade barycentric
+        recomputation vs the full 5-plane carry: slot/depth planes must be
+        bit-identical; the shaded image within 1 u8 LSB (FMA contraction
+        differs between fusion contexts)."""
+        from banggameengine_tpu.render import raster as rz
+        from banggameengine_tpu.render.cull import entity_frustum_mask
+        from banggameengine_tpu import math3d
+        from banggameengine_tpu.render.shading import (
+            LightParams, shade_visibility_tiled,
+        )
+
+        cam = Camera()
+        state = demo.initial_state
+        w, h = 320, 180
+        rs = demo.render
+        view = jnp.asarray(cam.view_matrix())
+        proj = jnp.asarray(cam.proj_matrix(w / h))
+        vis_ent = entity_frustum_mask(
+            rs.ent_aabb_min, rs.ent_aabb_max, rs.ent_has_mesh,
+            state.world, view, proj)
+        tri_valid = rs.tri_valid & vis_ent[rs.v_entity[::3]]
+        _, clip = rz.transform_vertices(
+            rs.v_pos, rs.v_entity, state.world, view, proj)
+        _, _, tf = rz.rasterize(clip, tri_valid, w, h, bin_capacity=2048,
+                                return_tiled=True, slim=False)
+        _, _, ts = rz.rasterize(clip, tri_valid, w, h, bin_capacity=2048,
+                                return_tiled=True, slim=True)
+        np.testing.assert_array_equal(np.asarray(tf.slot), np.asarray(ts.slot))
+        np.testing.assert_array_equal(np.asarray(tf.depth),
+                                      np.asarray(ts.depth))
+        assert ts.b1 is None and ts.sub_raster is not None
+
+        nm = math3d.normal_matrix(state.world)
+        world_nrm = rz.transform_normals(rs.v_nrm, rs.v_entity, nm)
+        inv_w = 1.0 / jnp.where(jnp.abs(clip[:, 3]) > 1e-9, clip[:, 3], 1e-9)
+        args = (w, h, None, world_nrm, rs.v_uv, inv_w, rs.tri_material,
+                rs.mat_base_tint, rs.mat_uv_scale, rs.mat_spec_params,
+                rs.mat_spec_color, rs.mat_tex, rs.textures, rs.tex_size,
+                jnp.asarray(cam.position), LightParams.default(), view, proj)
+        kw = dict(shade_slots=64,
+                  textures_quad=getattr(rs, "textures_quad", None),
+                  textures_quad_t=getattr(rs, "textures_quad_t", None))
+        a = np.asarray(shade_visibility_tiled(tf, *args, **kw)).astype(int)
+        b = np.asarray(shade_visibility_tiled(ts, *args, **kw)).astype(int)
+        d = np.abs(a - b)
+        assert d.max() <= 1 and (d > 0).mean() < 1e-3
 
     def test_tiled_resolve_heavy_fallback(self, demo):
         """Force tiny light capacity so heavy-pass winners exceed the
@@ -283,6 +337,18 @@ class TestDemoRender:
             textures_quad=tq, textures_quad_t=tqt,
             vis_depth=vis.depth, view=view, proj=proj))
         np.testing.assert_array_equal(a, b)
+
+        # slim carry + heavy fallback: same scene, ±1 u8 LSB (the in-shade
+        # barycentric recompute re-associates FMAs)
+        _, _, tslim = rz.rasterize(
+            clip, tri_valid, w, h, bin_capacity=2048, light_capacity=4,
+            return_tiled=True, slim=True)
+        c = np.asarray(shade_visibility_tiled(
+            tslim, w, h, None, *attr_args,
+            jnp.asarray(cam.position), light, view, proj,
+            shade_slots=kl, textures_quad=tq, textures_quad_t=tqt))
+        d = np.abs(c.astype(int) - b.astype(int))
+        assert d.max() <= 1 and (d > 0).mean() < 1e-3
 
     def test_pallas_resolve_matches_xla_resolve(self, demo):
         """The VMEM one-hot resolve kernel (interpret mode on CPU) is

@@ -75,10 +75,13 @@ def _unsharded_reference(state, static, dt, iterations=10, max_neighbors=8):
     c_e = jnp.where(stat_side, 0.0,
                     static.restitution[:, None] * static.restitution[sb])
     inv_i = sv.inv_inertia_world(state.quat, static.inv_inertia_body)
+    # momentum=0.5 mirrors the engine's production solver settings
+    # (physics.step solver_momentum default), which the sharded phase
+    # hardcodes to stay row-for-row identical
     return sv.solve_contacts_unified(
         state.lin_vel, state.ang_vel, state.pos, static.inv_mass, inv_i,
         c_b, c_pt, c_n, c_d, c_valid, c_mu, c_e, jnp.float32(dt),
-        iterations=iterations,
+        iterations=iterations, momentum=0.5,
     )
 
 
