@@ -364,3 +364,39 @@ def make_flat_many_world_step(
     step.jitted = jfn
     step.bound_static = (st, nb_idx, nb_val, group, char_cand)
     return step
+
+
+def make_many_world_step(
+    static: StaticScene,
+    mesh: Mesh,
+    comp_mask_1w,
+    num_worlds: int,
+    num_steps: int = 1,
+    verbose: bool = True,
+    **physics_kwargs,
+):
+    """Auto-routing many-world factory: ``(step, layout)``.
+
+    Picks the flat block-diagonal layout (the W*B body axis on the 128
+    lanes — measured 73.2k vs 18.5k world-steps/s/chip for the vmapped
+    [W, B, ...] layout, whose per-world rows waste ~40x of every (8,128)
+    tile) whenever the census allows: a single-device mesh (the flat
+    world is one entity axis; multi-device scaling shards the WORLD axis
+    of the vmapped layout instead) and a scene the flat builder accepts
+    (flat hierarchy, static topology).  Falls back to the vmapped layout
+    LOUDLY — the returned ``layout`` string says which path you got, and
+    ``verbose`` prints the reason for a fallback.
+    """
+    if int(np.prod(mesh.devices.shape)) == 1:
+        try:
+            step = make_flat_many_world_step(
+                static, num_worlds, comp_mask_1w, num_steps=num_steps,
+                **physics_kwargs)
+            return step, "flat"
+        except Exception as e:  # host-side build rejection (topology)
+            if verbose:
+                print(f"[manyworld] flat layout unavailable "
+                      f"({type(e).__name__}: {e}); using vmapped")
+    step = make_sharded_many_world_step(
+        static, mesh, num_steps=num_steps, **physics_kwargs)
+    return step, "vmapped"

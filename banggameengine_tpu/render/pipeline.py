@@ -38,8 +38,8 @@ def render_frame(
     depth_only: bool = False,
     return_depth: bool = False,
     wireframe: bool = False,
-    shade_mode: str = "gather",
-    resolve_backend: str = "xla",
+    shade_mode: str = "tiled",
+    resolve_backend: str = "auto",
     raster_backend: str = "auto",
 ):
     """Render one shaded frame (or depth buffer).
@@ -123,15 +123,12 @@ def render_frame(
             rs.mat_spec_color, rs.mat_tex,
             rs.textures, rs.tex_size,
             camera_pos, light, view, proj,
-            # pallas resolve covers the HEAVY slot space too (no
-            # per-frame row-gather fallback; the one-hot lives in VMEM so
-            # a wider KL costs only MXU flops); the XLA resolve keeps the
-            # light-list width for all tiles and runs a SECOND, wider
-            # resolve over just the heavy-pass tiles (widths must match
-            # the raster walk: light = K_GLOBAL + light_capacity, heavy =
-            # K_GLOBAL + heavy_capacity rasterize defaults)
-            shade_slots=rz.K_GLOBAL + (
-                256 if resolve_backend.startswith("pallas") else 48),
+            # both resolves keep the light-list width for all tiles and
+            # run a SECOND, wider resolve over just the heavy-pass tiles
+            # (widths must match the raster walk: light = K_GLOBAL +
+            # light_capacity, heavy = K_GLOBAL + heavy_capacity rasterize
+            # defaults)
+            shade_slots=rz.K_GLOBAL + 48,
             heavy_shade_slots=rz.K_GLOBAL + 256,
             resolve_backend=resolve_backend,
             wireframe=wireframe,

@@ -3,23 +3,37 @@
 The deferred shader needs, per pixel, the C-channel super-row of its
 winning triangle.  Per tile the winners come from a <= KL-entry list, so
 the fetch is ``onehot[px, KL] @ table[KL, C]``.  The XLA formulation must
-materialize the one-hot ([tiles, px, KL] f32, ~0.7 GB at 1080p) through
-HBM; this kernel builds it in VMEM per tile and contracts on the MXU,
-writing only the resolved channels (planar: [C, tiles, px]) back.
+materialize the one-hot ([tiles, px, KL], ~0.27 GB in bf16 at 1080p)
+through HBM AND split the [t, C, px] dot output into per-channel planes
+(another ~3.7 ms of relayout fusions — XLA folds a [C, t, px] transpose
+into a layout relabel, leaving channels lane-padded minor).  This kernel
+builds the one-hot in VMEM per tile, contracts on the MXU, and writes the
+resolved channels **directly channel-major** ([C_pad, tiles*px] — each
+channel row IS a contiguous plane), so neither the one-hot nor any
+relayout ever touches HBM.
 
-Layout choices that make Mosaic happy:
-- the slot plane arrives pre-flattened as [tiles, 1, px] (XLA does that
-  relayout once, ~8 MB);
+Layout/shape choices that make Mosaic happy:
+- ``tiles_blk`` tiles per grid program (default 10): the round-4 kernel
+  ran one PROGRAM per tile — 510 programs whose per-program DMA/launch
+  overhead dominated (~5.8 ms measured vs ~1.5 ms ideal);
 - the one-hot is built as [KL_pad, px] via broadcasted-iota-vs-lane-vector
   compare (no in-kernel transposes);
 - the table arrives pre-transposed/padded as [tiles, C_pad, KL_pad] so the
-  contraction is a single [C_pad, KL_pad] x [KL_pad, px] ``jnp.dot``;
+  contraction is a single [C_pad, KL_pad] x [KL_pad, px] ``jnp.dot``
+  with ``precision=HIGHEST`` (payload rows must come through f32-EXACT —
+  the engine-wide bf16-rounding rule, see ``banggameengine_tpu.__init__``);
 - table pad rows are zero, so slots in [KL, KL_pad) resolve to zeros and
   slots >= KL_pad match nothing — both are overwritten by the caller's
-  heavy-tile row-gather fallback (slot >= KL).
+  fallback handling;
+- the output is 2-D [C_pad, tiles*px] with a (C_pad, blk*px) block per
+  program — Mosaic requires the last two block dims (8, 128)-divisible,
+  which a [C_pad, 1, px] 3-D block is not; callers reshape channel rows
+  back to [tiles, px] (a free row-major split).
 """
 
 from __future__ import annotations
+
+import functools
 
 import jax
 import jax.numpy as jnp
@@ -28,26 +42,37 @@ from jax.experimental.pallas import tpu as pltpu
 
 Array = jax.Array
 
+
 def _kl_pad(kl: int) -> int:
     """One-hot row count (contraction dim), padded to the 128-lane tile."""
     return max(128, -(-kl // 128) * 128)
 
 
-def _resolve_kernel(slot_ref, table_ref, out_ref, *, kl_pad: int):
-    """One tile: build onehot [kl_pad, px] in VMEM, contract, write
-    [C_pad, px]."""
-    slots = slot_ref[0, 0, :]                        # i32[px] lane vector
-    kl_iota = jax.lax.broadcasted_iota(
-        jnp.int32, (kl_pad, slots.shape[0]), 0)
-    oh = (kl_iota == slots[None, :]).astype(jnp.float32)   # [KL_PAD, px]
-    out_ref[:, :] = jnp.dot(
-        table_ref[0], oh, preferred_element_type=jnp.float32)
+def _resolve_kernel(slot_ref, table_ref, out_ref, *, kl_pad: int,
+                    tiles_blk: int, px: int):
+    """One block of tiles: per tile, build onehot chunks [128, px] in
+    VMEM, contract, accumulate, write [C_pad, px] into the block's column
+    range.  Chunking the contraction dim keeps the live one-hot at 2 MB
+    regardless of KL (the heavy-tile call runs KL_pad = 384)."""
+    for b in range(tiles_blk):                       # static unroll
+        slots = slot_ref[b, :]                       # i32[px] lane vector
+        acc = None
+        for lo in range(0, kl_pad, 128):
+            kl_iota = lo + jax.lax.broadcasted_iota(jnp.int32, (128, px), 0)
+            oh = (kl_iota == slots[None, :]).astype(jnp.float32)  # [128, px]
+            part = jnp.dot(
+                table_ref[b, :, lo:lo + 128], oh,
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST)
+            acc = part if acc is None else acc + part
+        out_ref[:, b * px:(b + 1) * px] = acc
 
 
 def resolve_tiles_pallas(
     slot_flat: Array,     # i32[tiles, px] winning slot per pixel (-1 bg)
     tables_t: Array,      # f32[tiles, C, KL] per-tile channel-major tables
     interpret: bool = False,
+    tiles_blk: int = 8,
 ) -> Array:
     """-> resolved f32[C, tiles, px] (channel-planar)."""
     n_tiles, px = slot_flat.shape
@@ -55,27 +80,35 @@ def resolve_tiles_pallas(
     kl = tables_t.shape[2]
     c_pad = -(-c // 8) * 8
     kl_pad = _kl_pad(kl)
-    tab = jnp.zeros((n_tiles, c_pad, kl_pad), jnp.float32)
-    tab = tab.at[:, :c, :kl].set(tables_t)
-
-    # output is 2-D [C_pad, tiles*px] with a (C_pad, px) block per tile —
-    # Mosaic requires the last two block dims to be (8, 128)-divisible,
-    # which a [C_pad, 1, px] 3-D block is not; callers reshape channel
-    # rows back to [tiles, px] (a free row-major split)
-    import functools
+    blk = min(tiles_blk, n_tiles)
+    n_blocks = -(-n_tiles // blk)
+    t_pad = n_blocks * blk
+    tab = jnp.zeros((t_pad, c_pad, kl_pad), jnp.float32)
+    tab = tab.at[:n_tiles, :c, :kl].set(tables_t)
+    slot_p = slot_flat
+    if t_pad != n_tiles:
+        slot_p = jnp.pad(slot_flat, ((0, t_pad - n_tiles), (0, 0)),
+                         constant_values=-1)
 
     out = pl.pallas_call(
-        functools.partial(_resolve_kernel, kl_pad=kl_pad),
-        out_shape=jax.ShapeDtypeStruct((c_pad, n_tiles * px), jnp.float32),
-        grid=(n_tiles,),
+        functools.partial(_resolve_kernel, kl_pad=kl_pad, tiles_blk=blk,
+                          px=px),
+        out_shape=jax.ShapeDtypeStruct((c_pad, t_pad * px), jnp.float32),
+        grid=(n_blocks,),
         in_specs=[
-            pl.BlockSpec((1, 1, px), lambda t: (t, 0, 0),
+            pl.BlockSpec((blk, px), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, c_pad, kl_pad), lambda t: (t, 0, 0),
+            pl.BlockSpec((blk, c_pad, kl_pad), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((c_pad, px), lambda t: (0, t),
+        out_specs=pl.BlockSpec((c_pad, blk * px), lambda i: (0, i),
                                memory_space=pltpu.VMEM),
+        # the double-buffered (C_pad, blk*px) out block plus the unrolled
+        # one-hot temporaries overflow the default 16 MB scoped-vmem limit
+        # on the KL_pad=384 heavy call (measured 17.91 MB); v5e has 128 MB
+        # of VMEM per core, so raise the scope rather than shrink the block
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024),
         interpret=interpret,
-    )(slot_flat[:, None, :], tab)
-    return out[:c].reshape(c, n_tiles, px)
+    )(slot_p, tab)
+    return out[:c].reshape(c, t_pad, px)[:, :n_tiles]

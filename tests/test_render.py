@@ -391,6 +391,15 @@ class TestDemoRender:
         b = np.asarray(shade_visibility_tiled(
             *args, resolve_backend="xla", **kw))
         np.testing.assert_array_equal(a, b)
+        # narrow light width + wider heavy width exercises the heavy-tile
+        # second resolve and its one-hot merge in BOTH backends
+        kw["shade_slots"] = 24
+        kw["heavy_shade_slots"] = 64
+        a = np.asarray(shade_visibility_tiled(
+            *args, resolve_backend="pallas_interpret", **kw))
+        b = np.asarray(shade_visibility_tiled(
+            *args, resolve_backend="xla", **kw))
+        np.testing.assert_array_equal(a, b)
 
     def test_wireframe_true_line_primitives(self, demo):
         """F1 wireframe draws actual line primitives (white mesh edges on
