@@ -130,6 +130,10 @@ def render_frame(
             # defaults)
             shade_slots=rz.K_GLOBAL + 48,
             heavy_shade_slots=rz.K_GLOBAL + 256,
+            # rasterize() walked at most K_GLOBAL + heavy_capacity slots
+            # (its defaults) — lets the shade statically drop the
+            # impossible row-gather fallback cond
+            raster_max_slots=rz.K_GLOBAL + 256,
             resolve_backend=resolve_backend,
             wireframe=wireframe,
             textures_quad=getattr(rs, "textures_quad", None),

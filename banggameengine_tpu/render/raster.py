@@ -323,10 +323,13 @@ def bin_triangles(tri, width: int, height: int,
     ids_local = ids_local.at[sc_tile, sc_rank].set(
         jnp.where(ok, pk_tri.astype(jnp.int32), -1), mode="drop"
     )[:n_tiles]
-    local_counts = jax.ops.segment_sum(
-        pk_ok.astype(jnp.int32), jnp.where(pk_ok, pk_tile, n_tiles),
-        num_segments=n_tiles + 1,
-    )[:n_tiles]
+    # per-tile counts via binary search on the SORTED tile keys (invalid
+    # keys sit at the end as INT_MAX/stride > n_tiles): ~511 log-time
+    # queries instead of a scatter-add over every pair (~0.7 ms/frame
+    # measured for the segment_sum form)
+    bounds = jnp.searchsorted(pk_tile, jnp.arange(n_tiles + 1),
+                              side="left")
+    local_counts = (bounds[1:] - bounds[:-1]).astype(jnp.int32)
     l_overflow = jnp.sum(jnp.maximum(local_counts - k_local, 0))
 
     ids = jnp.concatenate(

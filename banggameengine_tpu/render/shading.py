@@ -394,6 +394,7 @@ def shade_visibility_tiled(
     textures_quad: Array | None = None,
     textures_quad_t: Array | None = None,
     resolve_backend: str = "xla",
+    raster_max_slots: int | None = None,
 ) -> Array:
     """Tile-major deferred shade with a per-tile one-hot MXU resolve.
 
@@ -463,52 +464,55 @@ def shade_visibility_tiled(
                         axis=1)                            # [C, t, px]
 
     if resolve_backend in ("pallas", "pallas_interpret"):
-        # the kernel writes channel-major [C, tiles, px] directly — each
-        # get(c) is a contiguous leading-dim slice, no plane split needed
+        # ONE unified kernel covers light AND heavy widths: the table is
+        # built at the heavy raster walk width and the kernel predicates
+        # the wide one-hot chunks per tile on its max winning slot — the
+        # ~90% light-only tiles pay one 128-chunk, only heavy tiles pay
+        # three.  This replaced a 4-step (light resolve, heavy resolve,
+        # one-hot MXU merge, fallback cond) that moved ~3 extra
+        # framebuffer-size buffers through HBM (~3.9 ms measured r4).
+        from banggameengine_tpu.render.resolve_pallas import (
+            resolve_tiles_pallas_wide,
+        )
+
         interp = resolve_backend == "pallas_interpret"
-        resolved_cp = _resolve_pallas_cached(
-            slot_p, jnp.swapaxes(tables, 1, 2), interp)    # [C, tiles, px]
         covered = kl
         if tiled.heavy is not None and heavy_shade_slots > kl:
-            kh = min(heavy_shade_slots, tiled.ids.shape[1])
-            hsel = tiled.heavy
-            ids_h = tiled.ids[hsel][:, :kh]
-            tab_h = (sub_row_t.T[jnp.maximum(ids_h, 0)] if slim
-                     else tri_row_t.T[jnp.maximum(ids_h, 0) // 2])
-            res_h = _resolve_pallas_cached(
-                slot_p[hsel], jnp.swapaxes(tab_h, 1, 2), interp)
-            # merge the heavy tiles back via a one-hot MXU contraction:
-            # the channel-leading [C, t, px] layout makes
-            # ``.at[:, hsel].set`` a MIDDLE-dim scatter, which XLA lowers
-            # to per-element ops (~57 ms/frame measured); the one-hot
-            # spread is ~1 ms of MXU.  Tiles heavy-selected but not
-            # heavy-needing keep the light result (zero one-hot row),
-            # matching the XLA branch's where().
-            n_t = slot_p.shape[0]
-            oh_h = ((hsel[None, :] == jnp.arange(n_t)[:, None])
-                    & tiled.heavy_needs[None, :]).astype(res_h.dtype)
-            merged = jnp.einsum("th,chp->ctp", oh_h, res_h,
-                                precision=jax.lax.Precision.HIGHEST)
-            hit = jnp.zeros((n_t,), bool).at[hsel].set(tiled.heavy_needs)
-            resolved_cp = jnp.where(hit[None, :, None], merged, resolved_cp)
-            covered = kh
+            covered = min(heavy_shade_slots, tiled.ids.shape[1])
+        ids_w = tiled.ids[:, :covered]
+        tab_w = (sub_row_t.T[jnp.maximum(ids_w, 0)] if slim
+                 else tri_row_t.T[jnp.maximum(ids_w, 0) // 2])
+        max_slot = slot_p.max(axis=1)                  # i32[tiles]
+        resolved_cp = resolve_tiles_pallas_wide(
+            slot_p, jnp.swapaxes(tab_w, 1, 2), max_slot,
+            interpret=interp)                          # [C, tiles, px]
         # split into per-channel [t, px] plane BUFFERS behind one barrier,
-        # exactly like the XLA branch below: the kernel writes [C, t, px]
-        # channel-major, but downstream consumers slicing a single shared
-        # array let XLA relabel its layout (lane-padding the minor dims
-        # per its own cost model) — separate plane buffers are layout-proof
+        # exactly like the XLA branch below: the kernel's [C, t, px]
+        # channel-major output slices planes for free, but downstream
+        # consumers slicing a single shared array let XLA relabel its
+        # layout (lane-padding the minor dims per its own cost model) —
+        # separate plane buffers are layout-proof
         n_chan = resolved_cp.shape[0]
         planes = jax.lax.optimization_barrier(
             tuple(resolved_cp[c] for c in range(n_chan)))
-        need_fb = slot_p >= covered
+        # slot values are bounded by the raster walk widths; when the
+        # resolve table covers the full heavy walk the fallback is
+        # statically impossible — skipping the cond matters because an
+        # UNTAKEN XLA cond still materializes its 40 plane operands
+        # (~0.9 ms/frame measured)
+        slot_ceiling = tiled.ids.shape[1]
+        if raster_max_slots is not None:
+            slot_ceiling = min(raster_max_slots, tiled.ids.shape[1])
+        if covered < slot_ceiling:
+            need_fb = slot_p >= covered
 
-        def _fb_planes_p(planes_):
-            rows = _fb_rows()                           # [C, t, px]
-            return tuple(jnp.where(need_fb, rows[c], p)
-                         for c, p in enumerate(planes_))
+            def _fb_planes_p(planes_):
+                rows = _fb_rows()                       # [C, t, px]
+                return tuple(jnp.where(need_fb, rows[c], p)
+                             for c, p in enumerate(planes_))
 
-        planes = jax.lax.cond(
-            jnp.any(need_fb), _fb_planes_p, lambda p: p, planes)
+            planes = jax.lax.cond(
+                jnp.any(need_fb), _fb_planes_p, lambda p: p, planes)
         get = lambda c: planes[c]
     else:
         def onehot_resolve(tabs, slots, k):
