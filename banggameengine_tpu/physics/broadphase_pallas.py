@@ -104,8 +104,14 @@ def _neighbor_kernel(
             def insert(args):
                 nb, filled, total = args
                 # per-row stable compaction of this chunk's survivors
+                # precision pinned: bf16 x bf16 is exact for these
+                # integer counts, and the engine-wide HIGHEST default
+                # (banggameengine_tpu.__init__) asks Mosaic for a
+                # multi-pass decomposition it cannot lower for bf16
+                # operands ("Bad lhs type" at compile)
                 csum = jnp.dot(ov.astype(jnp.bfloat16), tri,
-                               preferred_element_type=jnp.float32
+                               preferred_element_type=jnp.float32,
+                               precision=jax.lax.Precision.DEFAULT
                                ).astype(jnp.int32)
                 dest = filled + csum - 1
                 dest = jnp.where(ov, dest, -1)

@@ -104,11 +104,19 @@ def compact_contacts(
     """
     sel, new_valid, counts = compaction_matrix(valid, budget)
 
+    # per-operand precision: the 0/1 selection matrix is EXACT in bf16
+    # (DEFAULT, one MXU pass); the f32 payload stays HIGHEST (3-pass
+    # decomposition).  Bit-identical to (HIGHEST, HIGHEST) for selection
+    # contractions at half the MXU passes.
+    _SEL_PREC = (jax.lax.Precision.DEFAULT, jax.lax.Precision.HIGHEST)
+
     def move(a):
-        return jnp.einsum("...mc,...m->...c", sel, a.astype(jnp.float32))
+        return jnp.einsum("...mc,...m->...c", sel, a.astype(jnp.float32),
+                          precision=_SEL_PREC)
 
     def move3(a):
-        return jnp.einsum("...mc,...mk->...ck", sel, a)
+        return jnp.einsum("...mc,...mk->...ck", sel, a,
+                          precision=_SEL_PREC)
 
     c_b = jnp.where(new_valid, move(b_idx.astype(jnp.float32)).astype(jnp.int32), -1)
     out = (
@@ -200,8 +208,13 @@ def solve_contacts_unified(
     def rel_vel(v_, w_):
         va = v_[:, None] + jnp.cross(w_[:, None], ra)
         if use_onehot:
-            vb_lin = jnp.einsum("ncm,mk->nck", sel_partner, v_)
-            wb = jnp.einsum("ncm,mk->nck", sel_partner, w_)
+            # 0/1 partner selector is bf16-exact: one MXU pass for it,
+            # 3-pass HIGHEST for the f32 velocity payload (bit-identical
+            # to the all-HIGHEST form at half the passes)
+            prec = (jax.lax.Precision.DEFAULT, jax.lax.Precision.HIGHEST)
+            vb_lin = jnp.einsum("ncm,mk->nck", sel_partner, v_,
+                                precision=prec)
+            wb = jnp.einsum("ncm,mk->nck", sel_partner, w_, precision=prec)
             vb = vb_lin + jnp.cross(wb, rb)
         else:
             vb = jnp.where(is_static[..., None], 0.0, v_[safe_b]) + jnp.cross(

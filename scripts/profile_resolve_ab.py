@@ -135,6 +135,15 @@ def main():
                 slot_p, jnp.swapaxes(tables, 1, 2))
             resolved_cp = jax.lax.optimization_barrier(resolved_cp)
             return resolved_cp.sum((1, 2))
+        if backend == "pallas_wide":
+            from banggameengine_tpu.render.resolve_pallas import (
+                resolve_tiles_pallas_wide,
+            )
+
+            resolved_cp = resolve_tiles_pallas_wide(
+                slot_p, jnp.swapaxes(tables, 1, 2), slot_p.max(axis=1))
+            resolved_cp = jax.lax.optimization_barrier(resolved_cp)
+            return resolved_cp.sum((1, 2))
         k_eff = k_pad or kl
         if k_eff != kl:
             tables = jnp.pad(tables, ((0, 0), (0, k_eff - kl), (0, 0)))
@@ -180,6 +189,11 @@ def main():
         return resolve(r, wm, 64, jnp.float32, backend="pallas")
 
     @jax.jit
+    def resolve_pallas_wide(r, wm):
+        # the production kernel: heavy width + per-tile chunk predication
+        return resolve(r, wm, 272, jnp.float32, backend="pallas_wide")
+
+    @jax.jit
     def fb_gather(r, wm):
         world_pos, clip, tiled, _ = front(r, wm, True)
         tri_row_t = attr_tables(r, wm, clip, world_pos)
@@ -208,6 +222,7 @@ def main():
     timeit("resolve_bf128", resolve_bf16_128, rs, world)
     timeit("resolve_f128", resolve_f32_128, rs, world)
     timeit("resolve_plas", resolve_pallas, rs, world)
+    timeit("resolve_plasW", resolve_pallas_wide, rs, world)
     timeit("fb_gather", fb_gather, rs, world)
     timeit("shade_tiled", jax.jit(functools.partial(shade, mode="tiled")),
            rs, world)
