@@ -100,7 +100,7 @@ def make_variant(static, stage: str, iters: int = 10):
                         c_dep, c_valid, sf[:, 26], sf[:, 27],
                         dt, iterations=iters)
                     out = jnp.concatenate([vel_s, ang_s], axis=1)
-                    out = jnp.zeros((n, 6), jnp.float32).at[order].set(out)
+                    out = out[jnp.argsort(order)]   # gather, not scatter
                     vel, ang = out[:, 0:3], out[:, 3:6]
 
         pos = jnp.where(is_dyn[:, None], pos + vel * dt, pos)

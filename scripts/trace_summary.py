@@ -150,11 +150,40 @@ def build_manyworld_flat():
         bstate, binp)
 
 
+def build_stress():
+    import jax
+
+    from banggameengine_tpu.physics.step import physics_step
+    from banggameengine_tpu.scene.synthetic import build_falling_boxes
+    from banggameengine_tpu.state import InputFrame
+
+    state, static = build_falling_boxes(10000)
+    inp = InputFrame.zero()
+
+    step1 = jax.jit(lambda s: physics_step(
+        s, inp, static, broadphase="pallas", max_neighbors=8)[0])
+    for _ in range(200):
+        state = step1(state)
+    jax.block_until_ready(state)
+
+    @jax.jit
+    def run(s):
+        def body(carry, _):
+            return physics_step(carry, inp, static, broadphase="pallas",
+                                max_neighbors=8)[0], None
+
+        out, _ = jax.lax.scan(body, s, None, length=50)
+        return out
+
+    return (lambda s: run(jax.tree.map(lambda x: x + 0, s))), (state,)
+
+
 BUILDERS = {
     "frame_gather": lambda: build_frame("gather"),
     "frame_tiled": lambda: build_frame("tiled"),
     "manyworld": build_manyworld,
     "manyworld_flat": build_manyworld_flat,
+    "stress": build_stress,
 }
 
 if __name__ == "__main__":
