@@ -36,6 +36,8 @@ from banggameengine_tpu.state import (
     COMP_COLLIDER,
     COMP_RIGID_BODY,
     FEAT_STRIDE,
+    SHAPE_BOX,
+    SHAPE_CAPSULE,
     InputFrame,
     StaticScene,
     StepEvents,
@@ -162,16 +164,53 @@ def physics_step(
     if any_char:
         if char_candidates is not None:
             # static per-slot obstacle candidates (flat many-world: each
-            # character only ever meets its own world's entities) — the
-            # full capsule-vs-N sweep would build [C, N, 3]-minor
-            # intermediates that pad 42x on the (8,128) tile
+            # character only ever meets its own world's entities), run
+            # through the PLANAR multi-character step: the vmapped
+            # per-char form builds [C, 3, K, 3]-minor intermediates that
+            # pad 32-42x on the (8,128) tile and traced at ~5.3 ms/step
+            # (more than the 10-iteration solver); the planar form keeps
+            # characters on the 128 lanes throughout
             cand = char_candidates                       # i32[C, K]
             ob_c = obstacle_base[cand] & (cand != safe_ce[:, None])
             if group is not None:
                 ob_c = ob_c & (group[cand] == group[safe_ce][:, None])
-            new_centers, new_vys, new_grounds = jax.vmap(one_char)(
-                jnp.arange(c_slots), pos[cand], quat[cand],
-                static.shape_type[cand], static.shape_size[cand], ob_c)
+            cand_t = cand.T                              # [K, C]
+            # iteration-invariant candidate attributes in ONE
+            # channel-major gather (cf. contact_t setup_pack_t)
+            cpack = jnp.stack([
+                pos[:, 0], pos[:, 1], pos[:, 2],
+                quat[:, 0], quat[:, 1], quat[:, 2], quat[:, 3],
+                static.shape_size[:, 0], static.shape_size[:, 1],
+                static.shape_size[:, 2],
+            ])                                           # [10, N]
+            cg = jax.lax.optimization_barrier(
+                jnp.take(cpack, cand_t, axis=1))         # [10, K, C]
+            ctype = static.shape_type[cand_t]            # [K, C]
+            ob_t = ob_c.T
+            b_is_box = (ctype == SHAPE_BOX) & ob_t
+            b_is_cap = (ctype == SHAPE_CAPSULE) & ob_t
+
+            def per_vec(v):
+                v = jnp.asarray(v)
+                return (v if v.ndim else
+                        jnp.broadcast_to(v, (c_slots,)))
+
+            ccx, ccy, ccz = (pos[safe_ce, 0], pos[safe_ce, 1],
+                             pos[safe_ce, 2])
+            npx, npy, npz, new_vys, new_grounds = chr_mod.step_characters_t(
+                ccx, ccy, ccz,
+                state.char_vel_y[safe_ce], state.char_on_ground[safe_ce],
+                static.char_radius, static.char_half_height,
+                static.char_walk_speed, static.char_jump_impulse,
+                per_vec(inp.move_forward), per_vec(inp.move_right),
+                per_vec(inp.jump), per_vec(inp.sprint),
+                per_vec(inp.cam_yaw),
+                cg[0], cg[1], cg[2], cg[3], cg[4], cg[5], cg[6],
+                b_is_box, b_is_cap, cg[7], cg[8], cg[9],
+                static.gravity, dt, static.step_height,
+                static.max_slope_cos,
+            )
+            new_centers = jnp.stack([npx, npy, npz], axis=1)
         else:
             def full_view(slot):
                 ce = safe_ce[slot]

@@ -94,18 +94,17 @@ def main():
         out, _ = jax.lax.scan(body, (0.0, pt), None, length=STEPS)
         return out[0]
 
+    from banggameengine_tpu.utils.profiling import measure_throughput
+
     for name, fn in (("chan", chan), ("row", row), ("rowT", rowT)):
         jf = jax.jit(fn)
         t0 = time.perf_counter()
         jax.block_until_ready(jf(packed_t, idx))
         tc = time.perf_counter() - t0
-        times = []
-        for _ in range(3):
-            t0 = time.perf_counter()
-            jax.block_until_ready(jf(packed_t, idx))
-            times.append(time.perf_counter() - t0)
-        times.sort()
-        ms = times[1] / STEPS * 1e3
+        # queued dispatches + ONE readback: per-call block_until_ready does
+        # not synchronize on the tunneled runtime
+        sec = measure_throughput(jf, packed_t, idx, calls=5, warmup=1)
+        ms = sec / STEPS * 1e3
         print(f"{name:6s} {ms:8.3f} ms/step  (compile {tc:.1f}s)")
 
 

@@ -22,6 +22,8 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+import jax.numpy as jnp  # noqa: E402  (dtype-preserving copy in builders)
+
 
 def parse_trace(outdir, reps=1):
     paths = sorted(glob.glob(f"{outdir}/plugins/profile/*/*.trace.json.gz"))
@@ -125,7 +127,7 @@ def build_manyworld():
     binp = shard_batched(replicate_input(InputFrame.zero(), 1000), mesh)
     step = make_sharded_many_world_step(static, mesh, num_steps=50)
     # non-donating wrapper so repeated calls inside the trace reuse args
-    return (lambda s, i: step(jax.tree.map(lambda x: x + 0, s), i)), (
+    return (lambda s, i: step(jax.tree.map(jnp.copy, s), i)), (
         bstate, binp)
 
 
@@ -146,7 +148,7 @@ def build_manyworld_flat():
     binp = shard_batched(replicate_input(InputFrame.zero(), 1000), mesh)
     step = make_flat_many_world_step(static, 1000, state.comp_mask,
                                      num_steps=50)
-    return (lambda s, i: step(jax.tree.map(lambda x: x + 0, s), i)), (
+    return (lambda s, i: step(jax.tree.map(jnp.copy, s), i)), (
         bstate, binp)
 
 
@@ -175,7 +177,7 @@ def build_stress():
         out, _ = jax.lax.scan(body, s, None, length=50)
         return out
 
-    return (lambda s: run(jax.tree.map(lambda x: x + 0, s))), (state,)
+    return (lambda s: run(jax.tree.map(jnp.copy, s))), (state,)
 
 
 BUILDERS = {
