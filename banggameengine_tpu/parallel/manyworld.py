@@ -272,7 +272,11 @@ def make_flat_many_world_step(
         static, num_worlds, np.asarray(comp_mask_1w))
     census = scene_census(static)
     kwargs = {**census, **physics_kwargs}
-    kwargs.update(broadphase="static")
+    kwargs.update(broadphase="static",
+                  # per-world entity block: partners never cross worlds,
+                  # so the solver swaps its per-iteration partner gather
+                  # for the block one-hot contraction
+                  solver_block_size=int(static.body_type.shape[0]))
     w = num_worlds
     t1 = int(static.trig_entity.shape[0])   # trigger slots per world
 

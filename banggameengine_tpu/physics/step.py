@@ -95,6 +95,7 @@ def physics_step(
     char_candidates: "Array | None" = None,
     solver_sor: float = 1.0,
     solver_momentum: float = 0.5,
+    solver_block_size: "int | None" = None,
 ) -> tuple[WorldState, StepEvents]:
     dt = static.fixed_dt
     n = state.capacity
@@ -439,6 +440,7 @@ def physics_step(
                 ground_friction=GROUND_FRICTION,
                 warm=warm, return_lambdas=True,
                 momentum=solver_momentum,
+                block_size=solver_block_size,
             )
             imp = jnp.where(
                 c_valid.T[..., None],
@@ -462,6 +464,7 @@ def physics_step(
                 iterations=solver_iterations,
                 ground_friction=GROUND_FRICTION,
                 momentum=solver_momentum,
+                block_size=solver_block_size,
             )
             contact_cache = None
         return _finish_step(state, static, pos, quat, vel, ang,
