@@ -232,8 +232,16 @@ def _flat_static(static: StaticScene, num_worlds: int,
     group = np.repeat(np.arange(w, dtype=np.int32), b)
     # char slot w's obstacle candidates = its own world's entity block
     char_cand = (offs[:, None] + np.arange(b, dtype=np.int32)[None, :])
+    # the static set of partner offsets (partner_id - row_id) the block
+    # topology can produce: every partner read in the solver and the
+    # neighbor-validity masks become lane rolls over exactly this set
+    # (solve_contacts_t block_shifts)
+    rows = np.arange(b, dtype=np.int64)[:, None]
+    shifts = tuple(sorted({int(d) for d in
+                           (loc_idx[loc_val] - np.broadcast_to(
+                               rows, loc_idx.shape)[loc_val])}))
     return (flat, jnp.asarray(nb_idx), jnp.asarray(nb_val),
-            jnp.asarray(group), jnp.asarray(char_cand))
+            jnp.asarray(group), jnp.asarray(char_cand), shifts)
 
 
 def make_flat_many_world_step(
@@ -268,15 +276,16 @@ def make_flat_many_world_step(
     """
     from banggameengine_tpu.physics.step import scene_census
 
-    flat_static, nb_idx, nb_val, group, char_cand = _flat_static(
+    flat_static, nb_idx, nb_val, group, char_cand, shifts = _flat_static(
         static, num_worlds, np.asarray(comp_mask_1w))
     census = scene_census(static)
     kwargs = {**census, **physics_kwargs}
     kwargs.update(broadphase="static",
                   # per-world entity block: partners never cross worlds,
                   # so the solver swaps its per-iteration partner gather
-                  # for the block one-hot contraction
-                  solver_block_size=int(static.body_type.shape[0]))
+                  # for lane rolls over the static shift set
+                  solver_block_size=int(static.body_type.shape[0]),
+                  solver_block_shifts=shifts)
     w = num_worlds
     t1 = int(static.trig_entity.shape[0])   # trigger slots per world
 

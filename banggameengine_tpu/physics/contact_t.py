@@ -661,7 +661,8 @@ def _sym_mul(i6, vx, vy, vz):
 
 @functools.partial(
     jax.jit, static_argnames=("iterations", "ground_friction",
-                              "return_lambdas", "momentum", "block_size"))
+                              "return_lambdas", "momentum", "block_size",
+                              "block_shifts"))
 def solve_contacts_t(
     vel: Array,        # f32[N,3]
     ang: Array,        # f32[N,3]
@@ -678,6 +679,7 @@ def solve_contacts_t(
     return_lambdas: bool = False,
     momentum: float = 0.0,
     block_size: "int | None" = None,
+    block_shifts: "tuple | None" = None,
 ):
     """Transposed image of :func:`solver.solve_contacts_unified` (same
     mass-splitting Jacobi scheme, same constants); returns (vel, ang).
@@ -688,13 +690,16 @@ def solve_contacts_t(
     ``return_lambdas=True`` appends the accumulated (ln, lt1, lt2).
 
     ``block_size=B`` declares the scene block-diagonal: every partner id
-    lives in the caller's own B-entity block (flat many-worlds).  The
-    per-iteration partner-velocity gather — ~0.29 ms/iteration at
-    N=16k, the dominant solver cost in the flat many-world trace — is
-    then replaced by an iteration-invariant [C, B, N] one-hot built once
-    from ``c_prt`` and contracted against a per-block broadcast of the
-    velocity planes.  Exactly one one-hot term is nonzero per (slot,
-    body), so the contraction is bit-identical to the gather."""
+    lives in the caller's own B-entity block (flat many-worlds), so the
+    partner read is a LANE ROLL: partner = n + shift with |shift| < B.
+    The per-iteration read becomes a select-accumulate over the static
+    shift set (``block_shifts``, host-computed from the neighbor
+    topology; defaults to all nonzero |d| < B) of lane-rolled velocity
+    planes — exactly one shift mask is true per (slot, body), so it is
+    bit-identical to the gather.  This replaced the r4 [C, B, N] one-hot
+    + per-block broadcast contraction, whose minor-dim-B broadcast and
+    sublane-padded (B=16) middle axis the device trace priced at ~90%
+    of solver time (~140 us/iteration at N=16k vs ~15 for the rolls)."""
     n = pos.shape[0]
     vx, vy, vz = vel[:, 0], vel[:, 1], vel[:, 2]
     wx, wy, wz = ang[:, 0], ang[:, 1], ang[:, 2]
@@ -706,28 +711,34 @@ def solve_contacts_t(
     partner_read = None
     if block_size is not None and block_size > 0 and n % block_size == 0:
         bsz = int(block_size)
-        nblk = n // bsz
-        base = (jnp.arange(n, dtype=jnp.int32) // bsz) * bsz
-        lp = jnp.clip(safe - base[None, :], 0, bsz - 1)       # [C, N]
-        ohb = jax.lax.optimization_barrier(
-            (~is_static[:, None, :])
-            & (jnp.arange(bsz, dtype=jnp.int32)[None, :, None]
-               == lp[:, None, :]))                            # [C, B, N]
+        ds = (tuple(int(d) for d in block_shifts) if block_shifts
+              else tuple(d for d in range(-(bsz - 1), bsz) if d != 0))
+        iota = jnp.arange(n, dtype=jnp.int32)
+        # pair slots read partner = n + shift (block-diagonal guarantee);
+        # static/ground slots get a sentinel no shift matches -> read 0.0
+        # (same zeroing the one-hot form had; every consumer masks on
+        # is_static or multiplies by masked terms)
+        shift = jnp.where(is_static, jnp.int32(2 * bsz),
+                          safe - iota[None, :])               # [C, N]
+        masks = jax.lax.optimization_barrier(
+            tuple(shift == d for d in ds))                    # each [C, N]
 
         def partner_read(packed_t):
-            """[ch, N] -> [ch, C, N]: partner attributes via the block
-            one-hot as a masked VPU reduce over the B=block_size axis
-            (exactly one term survives -> bit-identical to the gather,
-            already zeroed on static rows).  NOT an einsum: XLA lowers
-            the 'sbn,cbn->csn' contraction as a convolution that traced
-            ~3x slower than the gather it replaced."""
-            ch = packed_t.shape[0]
-            v2 = packed_t.reshape(ch, nblk, bsz).transpose(0, 2, 1)
-            v3 = jnp.broadcast_to(
-                v2[:, :, :, None], (ch, bsz, nblk, bsz)).reshape(
-                    ch, bsz, n)                               # [ch, B, N]
-            return jnp.sum(
-                jnp.where(ohb[None], v3[:, None], 0.0), axis=2)
+            """[ch, N] -> [ch, C, N]: partner attributes as lane rolls +
+            a select chain over the static shift set.  Exactly one mask
+            is true per valid (slot, body) -> bit-identical to the
+            gather; rolled wrap-around rows are never selected (shifts
+            stay in-block).  All operands are [*, N]-lane-dense: no
+            sublane-padded B axis, no minor-dim broadcast (the r4
+            one-hot form's broadcast_in_dim was ~100k cycles/iteration
+            in the device trace; NOT an einsum either — XLA lowers the
+            'sbn,cbn->csn' contraction as a ~3x slower convolution)."""
+            acc = jnp.zeros(packed_t.shape[:1] + shift.shape,
+                            packed_t.dtype)
+            for d, m in zip(ds, masks):
+                rolled = jnp.roll(packed_t, -d, axis=-1)
+                acc = jnp.where(m[None], rolled[:, None], acc)
+            return acc
 
     # all iteration-invariant partner attributes in ONE channel-major
     # gather: take(..., axis=1) of a [12, N] table with [C, N] indices

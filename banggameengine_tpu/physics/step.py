@@ -96,6 +96,7 @@ def physics_step(
     solver_sor: float = 1.0,
     solver_momentum: float = 0.5,
     solver_block_size: "int | None" = None,
+    solver_block_shifts: "tuple | None" = None,
 ) -> tuple[WorldState, StepEvents]:
     dt = static.fixed_dt
     n = state.capacity
@@ -408,8 +409,21 @@ def physics_step(
         from banggameengine_tpu.physics import contact_t
 
         nb_idx, nb_valid = static_neighbors
-        nb_ok = nb_valid & solid[nb_idx] & solid[:, None] \
-            & alive[nb_idx] & alive[:, None]
+        both = solid & alive
+        if solver_block_shifts:
+            # block-diagonal topology: partner = row + shift, so the two
+            # [N, K] partner-validity gathers (the trace priced the flat
+            # scalar-gather lowering at ~0.9 ms/step at N=16k) become a
+            # select chain over lane-rolled [N] planes with the static
+            # shift set (see solve_contacts_t.partner_read)
+            shift_nb = nb_idx - jnp.arange(n, dtype=jnp.int32)[:, None]
+            pb = jnp.zeros(nb_idx.shape, bool)
+            for d in solver_block_shifts:
+                pb = jnp.where(shift_nb == d,
+                               jnp.roll(both, -d)[:, None], pb)
+            nb_ok = nb_valid & pb & both[:, None]
+        else:
+            nb_ok = nb_valid & both[nb_idx] & both[:, None]
         ground_ok = is_dynamic & solid & jnp.asarray(static.ground_enabled)
         half = static.shape_size
         stype = static.shape_type if enable_capsule else None
@@ -441,6 +455,7 @@ def physics_step(
                 warm=warm, return_lambdas=True,
                 momentum=solver_momentum,
                 block_size=solver_block_size,
+                block_shifts=solver_block_shifts,
             )
             imp = jnp.where(
                 c_valid.T[..., None],
@@ -465,6 +480,7 @@ def physics_step(
                 ground_friction=GROUND_FRICTION,
                 momentum=solver_momentum,
                 block_size=solver_block_size,
+                block_shifts=solver_block_shifts,
             )
             contact_cache = None
         return _finish_step(state, static, pos, quat, vel, ang,
