@@ -159,10 +159,6 @@ def _flat_static(static: StaticScene, num_worlds: int,
     w = num_worlds
     b = int(static.parent.shape[0])
     n = w * b
-    par = np.asarray(static.parent)
-    if (par >= 0).any():
-        raise ValueError(
-            "flat many-world requires flat hierarchies (parent == -1)")
 
     def tile_ent(a):
         a = np.asarray(a)
@@ -179,10 +175,22 @@ def _flat_static(static: StaticScene, num_worlds: int,
         a = np.asarray(a)
         return np.tile(a, (w,) + (1,) * (a.ndim - 1))
 
+    # Parented hierarchies (round 5): parent ids and the level-ordered
+    # propagation tile over flat worlds exactly like every per-entity
+    # array — offset the ids by each world's block start.  level_nodes
+    # [L, M] becomes [L, W*M] (each level holds every world's nodes; -1
+    # padding stays -1).  Reference scenes using ``children``/``parent``
+    # (SceneLoader.cpp:629-648) keep the fast path.
+    ln = np.asarray(static.level_nodes)
+    flat_ln = np.where(ln[None, :, :] >= 0,
+                       ln[None, :, :] + offs[:, None, None], -1)
+    flat_ln = np.transpose(flat_ln, (1, 0, 2)).reshape(
+        ln.shape[0], w * ln.shape[1]).astype(np.int32)
+
     flat = dataclasses.replace(
         static,
-        parent=jnp.full((n,), -1, jnp.int32),
-        level_nodes=jnp.arange(n, dtype=jnp.int32)[None, :],
+        parent=jnp.asarray(off_slots(static.parent)),
+        level_nodes=jnp.asarray(flat_ln),
         body_type=jnp.asarray(tile_ent(static.body_type)),
         shape_type=jnp.asarray(tile_ent(static.shape_type)),
         shape_size=jnp.asarray(tile_ent(static.shape_size)),
@@ -250,6 +258,7 @@ def make_flat_many_world_step(
     comp_mask_1w,
     num_steps: int = 1,
     solver_iterations: int = 10,
+    mesh: Optional[Mesh] = None,
     **physics_kwargs,
 ):
     """Flat block-diagonal lockstep many-worlds step.
@@ -264,20 +273,33 @@ def make_flat_many_world_step(
     world block.  ``comp_mask_1w`` is one world's host-side component mask
     (used to find the solid boxes at build time).
 
-    Solid capsules are supported (round 4): the transposed pipeline carries
-    mixed-shape candidate slots (capsule-box sphere samples, cap-cap
-    segment contacts, end-sphere ground), so scenes like the demo world —
-    or any world mixing boxes and capsule rigid bodies — take the fast
-    path.  Remaining restriction: the neighbor topology is baked at build
-    time, so runtime entity spawn/despawn (ecs.lifecycle) does not extend
-    the contact graph inside this step — use the vmapped path for scenes
-    that mutate their body set (dead bodies are still masked out correctly
-    via ``alive``).
+    Multi-device (round 5): pass ``mesh`` to shard the WORLD axis.  Worlds
+    are embarrassingly parallel, so each device flattens its LOCAL
+    ``W/D`` worlds into one block-diagonal world and runs the identical
+    single-device program under ``jax.shard_map`` — the compiled step
+    contains **no collectives** and per-chip throughput equals the
+    single-chip flat number at ``W/D`` worlds.  Requires
+    ``num_worlds % n_devices == 0`` (raises ``ValueError`` otherwise).
+
+    Solid capsules are supported (round 4), and parented hierarchies
+    (round 5): parent ids / level_nodes tile over world blocks like every
+    per-entity array, so reference scenes using ``children``/``parent``
+    (SceneLoader.cpp:629-648) keep the fast path.  Remaining restriction:
+    the neighbor topology is baked at build time, so runtime entity
+    spawn/despawn (ecs.lifecycle) does not extend the contact graph inside
+    this step — use the vmapped path for scenes that mutate their body set
+    (dead bodies are still masked out correctly via ``alive``).
     """
     from banggameengine_tpu.physics.step import scene_census
 
+    n_dev = 1 if mesh is None else int(np.prod(mesh.devices.shape))
+    if n_dev > 1 and num_worlds % n_dev != 0:
+        raise ValueError(
+            f"flat many-world sharding needs num_worlds ({num_worlds}) "
+            f"divisible by the mesh size ({n_dev})")
+    w = num_worlds // n_dev              # worlds per device shard
     flat_static, nb_idx, nb_val, group, char_cand, shifts = _flat_static(
-        static, num_worlds, np.asarray(comp_mask_1w))
+        static, w, np.asarray(comp_mask_1w))
     census = scene_census(static)
     kwargs = {**census, **physics_kwargs}
     kwargs.update(broadphase="static",
@@ -286,7 +308,6 @@ def make_flat_many_world_step(
                   # for lane rolls over the static shift set
                   solver_block_size=int(static.body_type.shape[0]),
                   solver_block_shifts=shifts)
-    w = num_worlds
     t1 = int(static.trig_entity.shape[0])   # trigger slots per world
 
     def vstep(fs, binp, st, nb, nv, grp, cc):
@@ -366,12 +387,26 @@ def make_flat_many_world_step(
                                  unroll=2)
         return unflatten(fs, bstate)
 
-    jfn = jax.jit(run, donate_argnums=(0,))
-    st = jax.device_put(flat_static)
-    nb_idx = jax.device_put(nb_idx)
-    nb_val = jax.device_put(nb_val)
-    group = jax.device_put(group)
-    char_cand = jax.device_put(char_cand)
+    if n_dev > 1:
+        # One flat block-diagonal world of (W/D)*B entities per device;
+        # statics replicated, state/input world-axis sharded.  check_vma
+        # off: donation + replicated statics, no collectives to verify.
+        fn = jax.shard_map(
+            run, mesh=mesh,
+            in_specs=(P(WORLD_AXIS), P(WORLD_AXIS), P(), P(), P(), P(),
+                      P()),
+            out_specs=P(WORLD_AXIS), check_vma=False,
+        )
+        put = lambda x: jax.device_put(x, NamedSharding(mesh, P()))
+    else:
+        fn = run
+        put = jax.device_put
+    jfn = jax.jit(fn, donate_argnums=(0,))
+    st = jax.tree.map(put, flat_static)
+    nb_idx = put(nb_idx)
+    nb_val = put(nb_val)
+    group = put(group)
+    char_cand = put(char_cand)
     step = lambda bstate, binp: jfn(bstate, binp, st, nb_idx, nb_val,
                                     group, char_cand)
     step.jitted = jfn
@@ -391,25 +426,29 @@ def make_many_world_step(
     """Auto-routing many-world factory: ``(step, layout)``.
 
     Picks the flat block-diagonal layout (the W*B body axis on the 128
-    lanes — measured 73.2k vs 18.5k world-steps/s/chip for the vmapped
+    lanes — measured 227k vs 18.5k world-steps/s/chip for the vmapped
     [W, B, ...] layout, whose per-world rows waste ~40x of every (8,128)
-    tile) whenever the census allows: a single-device mesh (the flat
-    world is one entity axis; multi-device scaling shards the WORLD axis
-    of the vmapped layout instead) and a scene the flat builder accepts
-    (flat hierarchy, static topology).  Falls back to the vmapped layout
-    LOUDLY — the returned ``layout`` string says which path you got, and
-    ``verbose`` prints the reason for a fallback.
+    tile) on BOTH single- and multi-device meshes: on a slice, each
+    device runs its own W/D-world flat block under ``shard_map`` (round
+    5; no collectives, per-chip throughput = single-chip flat at W/D).
+    Falls back to the vmapped layout LOUDLY and ONLY on the host-side
+    build rejections the flat builder actually raises (``ValueError``:
+    world count not divisible by the mesh, dynamic-topology scenes) —
+    chip-side compile failures of the default layout PROPAGATE so a
+    regression can never silently ship the 30x-slower path (round-4
+    verdict #6).
     """
-    if int(np.prod(mesh.devices.shape)) == 1:
-        try:
-            step = make_flat_many_world_step(
-                static, num_worlds, comp_mask_1w, num_steps=num_steps,
-                **physics_kwargs)
-            return step, "flat"
-        except Exception as e:  # host-side build rejection (topology)
-            if verbose:
-                print(f"[manyworld] flat layout unavailable "
-                      f"({type(e).__name__}: {e}); using vmapped")
+    try:
+        step = make_flat_many_world_step(
+            static, num_worlds, comp_mask_1w, num_steps=num_steps,
+            mesh=mesh, **physics_kwargs)
+        layout = ("flat" if int(np.prod(mesh.devices.shape)) == 1
+                  else "flat-sharded")
+        return step, layout
+    except ValueError as e:  # host-side build rejection (topology)
+        if verbose:
+            print(f"[manyworld] flat layout unavailable "
+                  f"({type(e).__name__}: {e}); using vmapped")
     step = make_sharded_many_world_step(
         static, mesh, num_steps=num_steps, **physics_kwargs)
     return step, "vmapped"

@@ -115,6 +115,59 @@ def measure_throughput_chained(fn, state, *rest, calls: int = 20,
     return (_time.perf_counter() - t0) / calls, state
 
 
+def measure_trials(fn, *args, calls: int = 5, warmup: int = 2,
+                   trials: int = 5):
+    """Dispersion-aware :func:`measure_throughput` (non-donating fns).
+
+    Returns ``per_call_seconds_list`` over ``trials`` independent timed
+    windows of ``calls`` queued dispatches each (one amortized readback
+    per window)."""
+    import time as _time
+
+    out = None
+    for _ in range(max(warmup, 1)):
+        out = fn(*args)
+    device_sync(out)
+    times = []
+    for _ in range(max(trials, 1)):
+        t0 = _time.perf_counter()
+        for _ in range(calls):
+            out = fn(*args)
+        device_sync(out)
+        times.append((_time.perf_counter() - t0) / calls)
+    return times
+
+
+def measure_trials_chained(fn, state, *rest, calls: int = 5,
+                           warmup: int = 2, trials: int = 5):
+    """Dispersion-aware :func:`measure_throughput_chained`.
+
+    Runs ``trials`` independent timed windows back-to-back (each ``calls``
+    queued dispatches + ONE amortized readback) and returns
+    ``(per_call_seconds_list, final_state)``.  A single-window number
+    cannot distinguish chip contention from a real regression — the
+    round-4 headline showed a 2.5x spread between two single-trial runs
+    of byte-identical code; report the median and min/max of these.
+    """
+    import time as _time
+
+    def step(s):
+        out = fn(s, *rest)
+        return out[0] if isinstance(out, tuple) else out
+
+    for _ in range(max(warmup, 1)):
+        state = step(state)
+    device_sync(state)
+    times = []
+    for _ in range(max(trials, 1)):
+        t0 = _time.perf_counter()
+        for _ in range(calls):
+            state = step(state)
+        device_sync(state)
+        times.append((_time.perf_counter() - t0) / calls)
+    return times, state
+
+
 def trace_annotation(name: str):
     """Named region on the device trace timeline."""
     import jax.profiler

@@ -1,15 +1,25 @@
 """Benchmark harness — prints ONE JSON line for the driver.
 
-Headline metric (default config ``manyworld``, BASELINE.json north star):
-SandboxCity physics world-steps/sec/chip with 10k rigid bodies simulated as
-1k vmapped worlds x 10 bodies, stepped in lockstep on the available chip(s).
-``vs_baseline`` = value / 10,000 (the target floor).
+Headline metric (BASELINE.json north star): SandboxCity physics
+world-steps/sec/chip with 10k rigid bodies simulated as 1k lockstep worlds
+x 10 bodies on the available chip(s) (flat block-diagonal layout, sharded
+over the world axis on multi-device meshes).  ``vs_baseline`` = value /
+10,000 (the target floor).
 
-Other configs (BASELINE.json "configs"):
+The DEFAULT config is ``all`` (round 5): one run measures every driver
+config and the output line is the manyworld headline dict plus a
+``configs`` field carrying the other four, so `BENCH_rNN.json` is the
+complete record.  Every value is the MEDIAN of 3-5 independent timed
+windows with a ``spread`` {min,max,trials} field — single-window numbers
+cannot distinguish chip contention from regressions.
+
+Configs (BASELINE.json "configs"):
+  manyworld — 1k lockstep worlds, world-steps/sec/chip (headline)
   demo      — single demo-scene world, headless steps/sec
   stress    — single world with many falling boxes, steps/sec
   cull      — frustum cull + vertex transform + depth-only raster, frames/sec
   frame     — full shaded 1080p frame loop (sim step + render), frames/sec
+  tick      — fused interactive tick (4 substeps + 720p frame), ticks/sec
 
 Resilience (round 4): the axon TPU tunnel has failed mid-round twice
 (BENCH_r03.json rc=1, backend init hang >9 min).  ``bench.py`` therefore
@@ -34,19 +44,8 @@ import sys
 import time
 
 PROBE_TIMEOUT_S = int(os.environ.get("BANG_BENCH_PROBE_TIMEOUT", "480"))
-CHILD_TIMEOUT_S = int(os.environ.get("BANG_BENCH_CHILD_TIMEOUT", "1800"))
+CHILD_TIMEOUT_S = int(os.environ.get("BANG_BENCH_CHILD_TIMEOUT", "3000"))
 RETRY_BACKOFF_S = int(os.environ.get("BANG_BENCH_BACKOFF", "45"))
-
-
-def _time_dispatches(fn, args, *, warmup=2, reps=10):
-    """Per-call device seconds (queued dispatches, ONE final readback).
-
-    ``block_until_ready`` does not synchronize on tunneled runtimes; a
-    readback per call would add the tunnel round-trip to every sample."""
-    from banggameengine_tpu.utils.profiling import measure_throughput
-
-    t = measure_throughput(fn, *args, calls=reps, warmup=warmup)
-    return t, fn(*args)
 
 
 def _device_kind():
@@ -56,8 +55,23 @@ def _device_kind():
     return getattr(d, "device_kind", d.platform)
 
 
+def _median_rate(fn, args, work_per_call, calls=5, trials=3):
+    """Median work/sec over ``trials`` timed windows + a spread dict."""
+    import statistics
+
+    from banggameengine_tpu.utils.profiling import measure_trials_chained
+
+    times, _ = measure_trials_chained(fn, *args, calls=calls, warmup=2,
+                                      trials=trials)
+    rates = sorted(work_per_call / t for t in times)
+    return statistics.median(rates), {
+        "min": round(rates[0], 1), "max": round(rates[-1], 1),
+        "trials": len(rates),
+    }
+
+
 def bench_manyworld(num_worlds=1000, bodies_per_world=8, steps_per_dispatch=50,
-                    layout=None):
+                    layout=None, trials=5):
     import jax
 
     from banggameengine_tpu.parallel import (
@@ -69,6 +83,7 @@ def bench_manyworld(num_worlds=1000, bodies_per_world=8, steps_per_dispatch=50,
     )
     from banggameengine_tpu.scene.synthetic import build_falling_boxes
     from banggameengine_tpu.state import InputFrame
+    from banggameengine_tpu.utils.profiling import measure_trials_chained
 
     # 8 dynamic boxes + character + trigger = 10 collision objects/world
     state, static = build_falling_boxes(
@@ -79,49 +94,56 @@ def bench_manyworld(num_worlds=1000, bodies_per_world=8, steps_per_dispatch=50,
     binp = shard_batched(replicate_input(InputFrame.zero(), num_worlds), mesh)
 
     def measure(step, bstate_):
-        from banggameengine_tpu.utils.profiling import (
-            measure_throughput_chained,
-        )
+        # dispersion-aware (round-5 verdict #2): N independent timed
+        # windows; report the MEDIAN and the min/max spread — a single
+        # window cannot distinguish chip contention from a regression
+        # (the round-4 record had an unexplained 2.5x spread).
+        import statistics
 
-        t_total, _ = measure_throughput_chained(step, bstate_, binp,
-                                                calls=5, warmup=2)
-        return num_worlds * steps_per_dispatch / t_total
+        times, _ = measure_trials_chained(step, bstate_, binp,
+                                          calls=5, warmup=2, trials=trials)
+        rates = sorted(num_worlds * steps_per_dispatch / t for t in times)
+        return statistics.median(rates), rates
 
     # Default layout: flat block-diagonal (the W*B body axis on the 128
     # lanes — the vmapped [W,B,...] layout wastes ~40x of every (8,128)
-    # tile).  Falls back to the vmapped path LOUDLY (layout field in the
-    # output JSON) on any compile/run failure.
+    # tile).  Sharded over the world axis on multi-device meshes (each
+    # device runs its local W/D worlds as one flat block; round 5).
+    # Falls back to the vmapped path ONLY on the host-side build
+    # rejections the builder raises (ValueError); a chip-side compile
+    # failure of the DEFAULT layout PROPAGATES and fails the bench — a
+    # silent 30x-slower green run is worse than a red one (round-4
+    # verdict #6).
     if layout is None:
         layout = os.environ.get("BANG_MW_LAYOUT", "flat")
-    best, used_layout = 0.0, "vmapped"
-    if layout in ("flat", "both") and len(jax.devices()) == 1:
-        # block-diagonal flat world through the transposed contact
-        # pipeline (parity-tested vs the vmapped path)
+    n_chips = len(jax.devices())
+    best, rates, used_layout = 0.0, [], "vmapped"
+    if layout in ("flat", "both"):
         try:
             flat = make_flat_many_world_step(
                 static, num_worlds, state.comp_mask,
                 num_steps=steps_per_dispatch,
+                mesh=mesh if n_chips > 1 else None,
             )
-            best = measure(flat, bstate)
-            used_layout = "flat"
+        except ValueError as e:  # host-side topology rejection only
+            used_layout = f"vmapped-fallback({type(e).__name__})"
+            print(f"[bench] flat layout unavailable ({e}); "
+                  "falling back to vmapped", file=sys.stderr)
+        else:
+            best, rates = measure(flat, bstate)
+            used_layout = "flat" if n_chips == 1 else "flat-sharded"
             bstate = shard_batched(
                 replicate_state(state, num_worlds), mesh)
-        except Exception as e:  # pragma: no cover - chip-side failures
-            used_layout = f"vmapped-fallback({type(e).__name__})"
-            print(f"[bench] flat path failed ({type(e).__name__}: {e}), "
-                  "falling back to vmapped", file=sys.stderr)
     if layout != "flat" or best == 0.0:
         step = make_sharded_many_world_step(
             static, mesh, num_steps=steps_per_dispatch
         )
-        vm = measure(step, bstate)
+        vm, vm_rates = measure(step, bstate)
         if vm > best:
-            best = vm
-            if used_layout == "flat":
+            best, rates = vm, vm_rates
+            if used_layout in ("flat", "flat-sharded"):
                 used_layout = "vmapped(beat flat)"
-    world_steps_per_sec = best
-    n_chips = len(jax.devices())
-    value = world_steps_per_sec / n_chips
+    value = best / n_chips
     return {
         "metric": f"world-steps/sec/chip ({num_worlds} worlds x "
         f"[{bodies_per_world} boxes + character + trigger], "
@@ -130,6 +152,9 @@ def bench_manyworld(num_worlds=1000, bodies_per_world=8, steps_per_dispatch=50,
         "unit": "world-steps/sec/chip",
         "vs_baseline": round(value / 10000.0, 3),
         "layout": used_layout,
+        "spread": {"min": round(rates[0] / n_chips, 1),
+                   "max": round(rates[-1] / n_chips, 1),
+                   "trials": len(rates)},
     }
 
 
@@ -138,18 +163,17 @@ def bench_demo(steps_per_dispatch=100):
     from banggameengine_tpu.state import InputFrame
     from __graft_entry__ import _load_demo_scene
 
-    from banggameengine_tpu.utils.profiling import measure_throughput_chained
-
     state, static = _load_demo_scene()
     run = make_multi_step_fn(static, steps_per_dispatch)
     inp = InputFrame.zero()
-    t, _ = measure_throughput_chained(run, state, inp, calls=5, warmup=2)
-    value = steps_per_dispatch / t
+    value, spread = _median_rate(run, (state, inp), steps_per_dispatch,
+                                 calls=5)
     return {
         "metric": "demo-scene headless steps/sec (single world)",
         "value": round(value, 1),
         "unit": "steps/sec",
         "vs_baseline": round(value / 120.0, 2),  # 120 Hz realtime budget
+        "spread": spread,
     }
 
 
@@ -160,20 +184,19 @@ def bench_stress(num_bodies=10000, steps_per_dispatch=50):
     from banggameengine_tpu.scene.synthetic import build_falling_boxes
     from banggameengine_tpu.state import InputFrame
 
-    from banggameengine_tpu.utils.profiling import measure_throughput_chained
-
     state, static = build_falling_boxes(num_bodies)
     run = make_multi_step_fn(
         static, steps_per_dispatch, broadphase="pallas", max_neighbors=8,
     )
     inp = InputFrame.zero()
-    t, _ = measure_throughput_chained(run, state, inp, calls=4, warmup=2)
-    value = steps_per_dispatch / t
+    value, spread = _median_rate(run, (state, inp), steps_per_dispatch,
+                                 calls=4)
     return {
         "metric": f"physics stress steps/sec ({num_bodies} falling boxes)",
         "value": round(value, 1),
         "unit": "steps/sec",
         "vs_baseline": round(value / 120.0, 2),
+        "spread": spread,
     }
 
 
@@ -227,14 +250,21 @@ def _render_setup(width, height, depth_only):
 
 
 def bench_cull(width=1920, height=1080):
+    import statistics
+
+    from banggameengine_tpu.utils.profiling import measure_trials
+
     rfn, args, _, _ = _render_setup(width, height, depth_only=True)
-    t, _ = _time_dispatches(rfn, args)
-    value = 1.0 / t
+    times = measure_trials(rfn, *args, calls=10, warmup=2, trials=3)
+    rates = sorted(1.0 / t for t in times)
+    value = statistics.median(rates)
     return {
         "metric": f"cull+depth raster frames/sec ({width}x{height})",
         "value": round(value, 1),
         "unit": "frames/sec",
         "vs_baseline": round(value / 60.0, 2),
+        "spread": {"min": round(rates[0], 1), "max": round(rates[-1], 1),
+                   "trials": len(rates)},
     }
 
 
@@ -259,16 +289,14 @@ def bench_frame(width=1920, height=1080):
     proj = jax.device_put(jnp.asarray(cam.proj_matrix(width / height)))
     cam_pos = jax.device_put(jnp.asarray(cam.position))
 
-    from banggameengine_tpu.utils.profiling import measure_throughput_chained
-
-    t, _ = measure_throughput_chained(
-        ffn, state, inp, view, proj, cam_pos, calls=10, warmup=2)
-    value = 1.0 / t
+    value, spread = _median_rate(
+        ffn, (state, inp, view, proj, cam_pos), 1.0, calls=10)
     return {
         "metric": f"full frame loop frames/sec (sim+shaded {width}x{height})",
         "value": round(value, 1),
         "unit": "frames/sec",
         "vs_baseline": round(value / 60.0, 2),
+        "spread": spread,
     }
 
 
@@ -296,11 +324,8 @@ def bench_tick(width=1280, height=720, substeps=4):
     proj = jax.device_put(jnp.asarray(cam.proj_matrix(width / height)))
     cam_pos = jax.device_put(jnp.asarray(cam.position))
 
-    from banggameengine_tpu.utils.profiling import measure_throughput_chained
-
-    t, _ = measure_throughput_chained(
-        ffn, state, inp, view, proj, cam_pos, calls=10, warmup=2)
-    value = 1.0 / t
+    value, spread = _median_rate(
+        ffn, (state, inp, view, proj, cam_pos), 1.0, calls=10)
     return {
         "metric": f"fused interactive ticks/sec ({substeps} substeps + "
         f"shaded {width}x{height} frame, one dispatch)",
@@ -308,7 +333,29 @@ def bench_tick(width=1280, height=720, substeps=4):
         "unit": "ticks/sec",
         # 30 ticks/s x 4 substeps = the reference's 120 Hz sim bar
         "vs_baseline": round(value / 30.0, 2),
+        "spread": spread,
     }
+
+
+def bench_all():
+    """Every driver config in ONE run (round-5 verdict #7): the output
+    line is the manyworld HEADLINE dict (same contract as before) plus a
+    ``configs`` field carrying the other four driver configs' values, so
+    the record of record (`BENCH_rNN.json`) captures all five driver-side.
+    A headline failure fails the run (rc!=0); a sub-config failure is
+    recorded as an ``error`` string without masking the headline."""
+    headline = bench_manyworld()
+    configs = {}
+    for name, fn in (("demo", bench_demo), ("stress", bench_stress),
+                     ("cull", bench_cull), ("frame", bench_frame),
+                     ("tick", bench_tick)):
+        try:
+            configs[name] = fn()
+        except Exception as e:  # recorded, not masked
+            configs[name] = {"error": f"{type(e).__name__}: {e}"}
+            print(f"[bench] config {name} failed: {e}", file=sys.stderr)
+    headline["configs"] = configs
+    return headline
 
 
 CONFIGS = {
@@ -318,6 +365,7 @@ CONFIGS = {
     "cull": bench_cull,
     "frame": bench_frame,
     "tick": bench_tick,
+    "all": bench_all,
 }
 
 
@@ -427,7 +475,7 @@ def _orchestrate(argv):
     cpu_env["BANG_BENCH_CPU_FALLBACK"] = "1"
     # shrink the workload so the CPU run finishes in minutes
     cpu_argv = list(argv)
-    if not argv or argv[0] == "manyworld":
+    if not argv or argv[0] in ("manyworld", "all"):
         cpu_argv = ["manyworld", "--worlds", "64", "--steps", "10"]
     result = _run_child(cpu_argv, cpu_env)
     if result is None:
@@ -445,7 +493,7 @@ def _orchestrate(argv):
 
 def main(argv=None):
     p = argparse.ArgumentParser()
-    p.add_argument("config", nargs="?", default="manyworld", choices=CONFIGS)
+    p.add_argument("config", nargs="?", default="all", choices=CONFIGS)
     p.add_argument("--worlds", type=int, default=1000)
     p.add_argument("--bodies", type=int, default=8)
     p.add_argument("--steps", type=int, default=None)
