@@ -69,13 +69,25 @@ def roofline_manyworld(num_worlds=1000, bodies=8, steps=50):
     mesh = make_world_mesh()
     bstate = shard_batched(replicate_state(state, num_worlds), mesh)
     binp = shard_batched(replicate_input(InputFrame.zero(), num_worlds), mesh)
-    step = make_sharded_many_world_step(static, mesh, num_steps=steps)
+    layout = os.environ.get("BANG_MW_LAYOUT", "flat")
+    if layout == "flat":
+        from banggameengine_tpu.parallel.manyworld import (
+            make_flat_many_world_step,
+        )
+
+        step = make_flat_many_world_step(
+            static, num_worlds, state.comp_mask, num_steps=steps,
+            mesh=mesh if len(jax.devices()) > 1 else None)
+    else:
+        step = make_sharded_many_world_step(static, mesh, num_steps=steps)
     t, bstate = measure_throughput_chained(step, bstate, binp,
                                            calls=5, warmup=2)
-    compiled = step.jitted.lower(bstate, binp, step.bound_static).compile()
+    bound = step.bound_static
+    bound = bound if isinstance(bound, tuple) else (bound,)
+    compiled = step.jitted.lower(bstate, binp, *bound).compile()
     # divide by steps: per single lockstep step of all worlds
-    return report(f"manyworld {num_worlds}x{bodies}+char+trig (per lockstep "
-                  "step)", compiled, t, per_call_divisor=steps)
+    return report(f"manyworld {num_worlds}x{bodies}+char+trig ({layout}, "
+                  "per lockstep step)", compiled, t, per_call_divisor=steps)
 
 
 def roofline_stress(num_bodies=10000, steps=50):
