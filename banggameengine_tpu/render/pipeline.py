@@ -19,7 +19,8 @@ from banggameengine_tpu import math3d
 from banggameengine_tpu.render import raster as rz
 from banggameengine_tpu.render.cull import entity_frustum_mask
 from banggameengine_tpu.render.shading import (
-    LightParams, shade_visibility, shade_visibility_tiled,
+    LightParams, shade_visibility, shade_visibility_fused,
+    shade_visibility_tiled,
 )
 
 Array = jax.Array
@@ -88,6 +89,29 @@ def render_frame(
     world_pos, clip = rz.transform_vertices(
         rs.v_pos, rs.v_entity, world_mats, view, proj
     )
+
+    if shade_mode == "fused" and not depth_only:
+        # fused Pallas raster+resolve kernel (one kernel; depth/slot
+        # never round-trip HBM; count-adaptive walk covers every tile to
+        # heavy capacity).  interpret mode on CPU for tests.
+        normal_mats = math3d.normal_matrix(world_mats)
+        world_nrm = rz.transform_normals(rs.v_nrm, rs.v_entity, normal_mats)
+        inv_w = 1.0 / jnp.where(jnp.abs(clip[:, 3]) > 1e-9, clip[:, 3], 1e-9)
+        prep = rz.prepare_fused_raster(
+            clip, tri_valid, width, height, bin_capacity=bin_capacity)
+        interp = jax.default_backend() in ("cpu",)
+        return shade_visibility_fused(
+            prep, width, height,
+            world_pos, world_nrm, rs.v_uv, inv_w, rs.tri_material,
+            rs.mat_base_tint, rs.mat_uv_scale, rs.mat_spec_params,
+            rs.mat_spec_color, rs.mat_tex,
+            rs.textures, rs.tex_size,
+            camera_pos, light, view, proj,
+            wireframe=wireframe,
+            textures_quad=getattr(rs, "textures_quad", None),
+            textures_quad_t=getattr(rs, "textures_quad_t", None),
+            interpret=interp, return_depth=return_depth,
+        )
 
     tiled = None
     if depth_only:

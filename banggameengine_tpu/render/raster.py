@@ -341,6 +341,76 @@ def bin_triangles(tri, width: int, height: int,
     return ids, counts, local_counts, overflow, (tiles_y, tiles_x)
 
 
+class FusedRasterPrep(NamedTuple):
+    """Inputs for the fused Pallas raster+resolve kernel
+    (:mod:`raster_resolve_pallas`): binned + packed per-tile triangle
+    data.  The resolve tables are built by the shader (they need vertex
+    attributes) and joined at the kernel call."""
+
+    tri_pack: Array      # f32[tiles, K_pad, PACK_CH]
+    counts_walk: Array   # i32[tiles] slots to walk (global + local)
+    ids_w: Array         # i32[tiles, KW] binned ids at the walk width
+    sub_raster: Array    # f32[12, S] per-sub-triangle screen rows
+    overflow: Array      # i32 dropped-triangle count
+    tiles_x: int
+    tiles_y: int
+    width: int
+    height: int
+
+
+def prepare_fused_raster(clip, tri_valid, width: int, height: int,
+                         bin_capacity: int = 2048, chunk: int = 8,
+                         walk_capacity: int = 256) -> FusedRasterPrep:
+    """Clip + setup + bin + pack for the fused kernel.
+
+    The kernel walks up to ``K_GLOBAL + walk_capacity`` slots per tile,
+    predicated per tile on its actual count — replacing the XLA path's
+    light/heavy two-pass split (every tile gets heavy-capacity coverage,
+    not just the 64 fullest).  Locals beyond ``walk_capacity`` are
+    dropped and surface in ``overflow`` exactly like the XLA path's
+    budgets."""
+    from banggameengine_tpu.render.raster_resolve_pallas import (
+        pack_tile_triangles,
+    )
+
+    pad_w = (-width) % TILE_W
+    pad_h = (-height) % TILE_H
+    rw, rh = width + pad_w, height + pad_h
+
+    t = clip.shape[0] // 3
+    clip_tri = clip.reshape(t, 3, 4)
+    sub_clip, sub_bary, sub_valid = clip_near_plane(clip_tri, tri_valid)
+    s = 2 * t
+    sub_clip = sub_clip.reshape(s, 3, 4)
+    sub_bary = sub_bary.reshape(s, 3, 3)
+    sub_valid = sub_valid.reshape(s)
+
+    tri = setup_triangles(sub_clip, sub_valid, width, height)
+    k_local = min(bin_capacity, 2 * t)
+    ids, _counts, local_counts, overflow, (tiles_y, tiles_x) = bin_triangles(
+        tri, rw, rh, k_local=k_local
+    )
+
+    kw = min(K_GLOBAL + walk_capacity, ids.shape[1])
+    ids_w = ids[:, :kw]
+    tri_pack, _k_pad = pack_tile_triangles(
+        ids_w, tri["sx"], tri["sy"], tri["z"], chunk=chunk)
+    local_cap = kw - K_GLOBAL
+    counts_walk = K_GLOBAL + jnp.minimum(local_counts, local_cap)
+    overflow = overflow + jnp.sum(
+        jnp.maximum(local_counts - local_cap, 0))
+
+    sx, sy, cb = tri["sx"], tri["sy"], sub_bary
+    sub_raster = jnp.stack([
+        sx[:, 0], sx[:, 1], sx[:, 2],
+        sy[:, 0], sy[:, 1], sy[:, 2],
+        cb[:, 0, 1], cb[:, 1, 1], cb[:, 2, 1],
+        cb[:, 0, 2], cb[:, 1, 2], cb[:, 2, 2],
+    ])                                                 # [12, S]
+    return FusedRasterPrep(tri_pack, counts_walk, ids_w, sub_raster,
+                           overflow, tiles_x, tiles_y, width, height)
+
+
 def _raster_tile(tile_x0, tile_y0, g_x, g_y, g_z, g_oid, g_cb, g_ok,
                  chunk: int, slim: bool = False):
     """Visibility raster of one tile over PRE-GATHERED sub-triangle data.

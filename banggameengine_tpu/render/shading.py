@@ -598,10 +598,33 @@ def shade_visibility_tiled(
             jnp.any(need_fb), _fb_planes, lambda p: p, planes)
         get = lambda c: planes[c]
 
+    if slim:
+        b1 = b2 = None
+    else:
+        b1 = tiled.b1.reshape(n_tiles, px_per_tile)
+        b2 = tiled.b2.reshape(n_tiles, px_per_tile)
+    ndc_z = tiled.depth.reshape(n_tiles, px_per_tile)
+    return _shade_tiled_tail(
+        get, slot_p, ndc_z, b1, b2, layout, rb if slim else 0,
+        n_tiles, tiles_x, tiles_y, th, tw, width, height,
+        textures, textures_quad, textures_quad_t,
+        camera_pos, light, view, proj, wireframe)
+
+
+def _shade_tiled_tail(get, slot_p, ndc_z, b1, b2, layout, rb,
+                      n_tiles, tiles_x, tiles_y, th, tw, width, height,
+                      textures, textures_quad, textures_quad_t,
+                      camera_pos, light, view, proj, wireframe):
+    """Shared tail of the tile-major deferred shade: pixel coordinates,
+    slim barycentric recomputation, component-form shading math, u8
+    untile.  ``b1``/``b2`` None => recompute from the raster rows at
+    table offset ``rb`` (slim carry)."""
+    px_per_tile = th * tw
+    rh, rw = tiles_y * th, tiles_x * tw
     # tile-major pixel coordinates (+0.5 centers)
     tile_ids = jnp.arange(n_tiles, dtype=jnp.int32)
-    ox = ((tile_ids % tiles_x) * TILE_W).astype(jnp.float32)
-    oy = ((tile_ids // tiles_x) * TILE_H).astype(jnp.float32)
+    ox = ((tile_ids % tiles_x) * tw).astype(jnp.float32)
+    oy = ((tile_ids // tiles_x) * th).astype(jnp.float32)
     xi = (jax.lax.broadcasted_iota(jnp.int32, (th, tw), 1)
           .reshape(px_per_tile).astype(jnp.float32))
     yi = (jax.lax.broadcasted_iota(jnp.int32, (th, tw), 0)
@@ -609,7 +632,7 @@ def shade_visibility_tiled(
     pxc = ox[:, None] + xi[None, :] + 0.5                  # [tiles, px]
     pyc = oy[:, None] + yi[None, :] + 0.5
 
-    if slim:
+    if b1 is None:
         # recompute the winning triangle's barycentrics ONCE per pixel,
         # replicating the raster scan's exact op sequence (raster.py
         # chunk_depth + the ob1/ob2 mapping) so the output is
@@ -625,10 +648,6 @@ def shade_visibility_tiled(
         sb0 = 1.0 - sb1 - sb2
         b1 = sb0 * get(rb + 6) + sb1 * get(rb + 7) + sb2 * get(rb + 8)
         b2 = sb0 * get(rb + 9) + sb1 * get(rb + 10) + sb2 * get(rb + 11)
-    else:
-        b1 = tiled.b1.reshape(n_tiles, px_per_tile)
-        b2 = tiled.b2.reshape(n_tiles, px_per_tile)
-    ndc_z = tiled.depth.reshape(n_tiles, px_per_tile)
     background = slot_p < 0
 
     rgb_r, rgb_g, rgb_b, alpha = _shade_core(
@@ -643,6 +662,71 @@ def shade_visibility_tiled(
     out = (out.reshape(tiles_y, tiles_x, th, tw, 4)
            .transpose(0, 2, 1, 3, 4).reshape(rh, rw, 4))
     return out[:height, :width]
+
+
+def shade_visibility_fused(
+    prep,                 # raster.FusedRasterPrep
+    width: int, height: int,
+    # per-vertex attributes (V = 3*T)
+    world_pos: Array, world_nrm: Array, v_uv: Array, inv_w: Array,
+    tri_material: Array,
+    # material tables
+    mat_base_tint: Array, mat_uv_scale: Array, mat_spec_params: Array,
+    mat_spec_color: Array, mat_tex: Array,
+    textures: Array, tex_size: Array,
+    camera_pos: Array, light: LightParams,
+    view: Array, proj: Array,
+    wireframe: bool = False,
+    textures_quad: Array | None = None,
+    textures_quad_t: Array | None = None,
+    interpret: bool = False,
+    return_depth: bool = False,
+):
+    """Deferred shade over the FUSED Pallas raster+resolve kernel
+    (:mod:`raster_resolve_pallas`): the per-tile visibility walk and the
+    one-hot attribute resolve run in one kernel, so the depth/slot
+    planes never round-trip HBM between raster and shade.  Slim-carry
+    semantics (barycentrics recomputed per pixel from the resolved
+    raster rows) — bit-identical to ``shade_visibility_tiled`` on
+    scenes where every dense tile ranks in the XLA path's heavy-pass
+    top-64 (the fused walk covers EVERY tile to heavy capacity)."""
+    from banggameengine_tpu.render.raster import TILE_H, TILE_W
+    from banggameengine_tpu.render.raster_resolve_pallas import (
+        raster_resolve_tiles_pallas,
+    )
+
+    tri_row_t, layout = _pack_tri_rows(
+        world_pos, world_nrm, v_uv, inv_w, tri_material,
+        mat_base_tint, mat_uv_scale, mat_spec_color, mat_tex, tex_size,
+        reconstruct_wp=True)
+    rb = tri_row_t.shape[0]
+    sub_row_t = jnp.concatenate(
+        [jnp.repeat(tri_row_t, 2, axis=1), prep.sub_raster], axis=0)
+    tables = sub_row_t.T[jnp.maximum(prep.ids_w, 0)]   # [tiles, KW, C+12]
+
+    px_per_tile = TILE_H * TILE_W
+    depth_p, slot_p, resolved = raster_resolve_tiles_pallas(
+        prep.counts_walk, prep.tri_pack, jnp.swapaxes(tables, 1, 2),
+        px=px_per_tile, tile_w=TILE_W, tiles_x=prep.tiles_x,
+        interpret=interpret)
+    n_chan = resolved.shape[0]
+    planes = jax.lax.optimization_barrier(
+        tuple(resolved[c] for c in range(n_chan)))
+    get = lambda c: planes[c]
+
+    n_tiles = prep.tiles_x * prep.tiles_y
+    frame = _shade_tiled_tail(
+        get, slot_p, depth_p, None, None, layout, rb,
+        n_tiles, prep.tiles_x, prep.tiles_y, TILE_H, TILE_W,
+        width, height,
+        textures, textures_quad, textures_quad_t,
+        camera_pos, light, view, proj, wireframe)
+    if return_depth:
+        rh, rw = prep.tiles_y * TILE_H, prep.tiles_x * TILE_W
+        dep = (depth_p.reshape(prep.tiles_y, prep.tiles_x, TILE_H, TILE_W)
+               .transpose(0, 2, 1, 3).reshape(rh, rw))[:height, :width]
+        return frame, dep
+    return frame
 
 
 def _sample_bilinear_planar(textures, textures_quad, textures_quad_t,

@@ -350,6 +350,41 @@ class TestDemoRender:
         d = np.abs(c.astype(int) - b.astype(int))
         assert d.max() <= 1 and (d > 0).mean() < 1e-3
 
+    def test_fused_raster_resolve_matches_tiled(self, demo):
+        """The FUSED Pallas raster+resolve kernel (interpret mode on CPU)
+        against the default tiled path: bit-exact on the demo scene (all
+        dense tiles rank within the XLA heavy top-64, so coverage is
+        identical)."""
+        cam = Camera()
+        state = demo.initial_state
+        w, h = 320, 180
+        args = (demo.render, state.world, cam.view_matrix(),
+                cam.proj_matrix(w / h), jnp.asarray(cam.position))
+        a = np.asarray(render_frame(*args, width=w, height=h,
+                                    shade_mode="tiled")).astype(int)
+        b = np.asarray(render_frame(*args, width=w, height=h,
+                                    shade_mode="fused")).astype(int)
+        np.testing.assert_array_equal(a, b)
+
+    def test_fused_raster_resolve_dense_tiles(self, demo):
+        """Zoomed onto the dense character mesh (the heavy-pass regime):
+        the fused kernel's count-adaptive walk must cover the dense tiles
+        exactly like the light+heavy XLA split."""
+        from banggameengine_tpu import math3d
+
+        state = demo.initial_state
+        cam = Camera()
+        w, h = 320, 180
+        view = math3d.mtx_look_at(jnp.asarray([0.0, 7.1, -6.0]),
+                                  jnp.asarray([0.0, 7.0, -5.0]))
+        args = (demo.render, state.world, view,
+                cam.proj_matrix(w / h), jnp.asarray(cam.position))
+        a = np.asarray(render_frame(*args, width=w, height=h,
+                                    shade_mode="tiled")).astype(int)
+        b = np.asarray(render_frame(*args, width=w, height=h,
+                                    shade_mode="fused")).astype(int)
+        np.testing.assert_array_equal(a, b)
+
     def test_pallas_resolve_matches_xla_resolve(self, demo):
         """The VMEM one-hot resolve kernel (interpret mode on CPU) is
         bit-exact against the XLA einsum resolve."""
