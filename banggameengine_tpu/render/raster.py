@@ -610,6 +610,49 @@ def rasterize(clip, tri_valid, width: int, height: int,
         # per-triangle scalar extracts dominate; round-2: vectorize the
         # chunk inside the kernel) — keep XLA as the default everywhere
         backend = "xla"
+    if backend == "walk":
+        # Tile-vectorized Pallas visibility walk (round 5): ONE
+        # count-adaptive pass covers every tile up to heavy capacity —
+        # replaces the light scan + top-64 heavy re-raster cond.  Slim
+        # output only (depth + slot).
+        from banggameengine_tpu.render.raster_resolve_pallas import (
+            pack_tile_triangles, raster_walk_pallas,
+        )
+
+        kw = min(K_GLOBAL + heavy_capacity, ids.shape[1])
+        ids = ids[:, :kw]
+        tri_pack, _k_pad = pack_tile_triangles(
+            ids, tri["sx"], tri["sy"], tri["z"], chunk=chunk)
+        local_cap = kw - K_GLOBAL
+        counts_walk = K_GLOBAL + jnp.minimum(local_counts, local_cap)
+        overflow = overflow + jnp.sum(
+            jnp.maximum(local_counts - local_cap, 0))
+        dep_p, slot_p = raster_walk_pallas(
+            counts_walk, tri_pack, px=TILE_H * TILE_W, tile_w=TILE_W,
+            tiles_x=tiles_x, chunk=chunk,
+            interpret=jax.default_backend() in ("cpu",))
+        zb = dep_p.reshape(n_tiles, TILE_H, TILE_W)
+        slot = slot_p.reshape(n_tiles, TILE_H, TILE_W)
+        dep_u = (zb.reshape(tiles_y, tiles_x, TILE_H, TILE_W)
+                 .transpose(0, 2, 1, 3).reshape(rh, rw))[:height, :width]
+        vis = VisibilityBuffer(depth=dep_u, tri_id=None, b1=None, b2=None)
+        if return_tiled:
+            sx, sy, cb = tri["sx"], tri["sy"], sub_bary
+            sub_raster = jnp.stack([
+                sx[:, 0], sx[:, 1], sx[:, 2],
+                sy[:, 0], sy[:, 1], sy[:, 2],
+                cb[:, 0, 1], cb[:, 1, 1], cb[:, 2, 1],
+                cb[:, 0, 2], cb[:, 1, 2], cb[:, 2, 2],
+            ])                                         # [12, S]
+            tiled = TiledVisibility(
+                depth=zb, slot=slot, b1=None, b2=None, ids=ids,
+                sub_raster=sub_raster,
+                # non-None sentinel: the whole walk ran at heavy width,
+                # so the shade's resolve must cover ids.shape[1] slots
+                heavy=jnp.zeros((0,), jnp.int32),
+                heavy_needs=jnp.zeros((0,), bool))
+            return vis, overflow, tiled
+        return vis, overflow
     if backend in ("pallas", "pallas_interpret"):
         from banggameengine_tpu.render.raster_pallas import raster_tiles_pallas
 

@@ -281,6 +281,146 @@ def raster_resolve_tiles_pallas(
             slot.reshape(t_pad, px)[:n_tiles], None)
 
 
+def _walk_kernel(counts_ref, tri_ref, depth_ref, slot_ref, *, chunk: int,
+                 k_pad: int, tiles_blk: int, px: int, tile_w: int,
+                 tiles_x: int):
+    """Tile-VECTORIZED count-adaptive visibility walk (v3).
+
+    The v2 kernel walked one tile at a time: ~30 small dependent vector
+    ops per chunk left the VPU pipeline mostly empty (measured 2.8 us
+    per tile-chunk vs 0.33 for the XLA scan, which fuses all 510 tiles
+    into one op per chunk).  Here the whole ``tiles_blk`` block walks in
+    lockstep on [blk, chunk, 8, lpx] arrays (256-vreg ops — XLA-scale),
+    with the trip count adapted to the block's MAX binned count (tiles
+    are row-major adjacent, so dense tiles cluster in few blocks)."""
+    blk_i = pl.program_id(0)
+    th = px // tile_w
+    sub = 8
+    lpx = px // sub
+
+    # absolute pixel coordinates [blk, sub, lpx] from 3-D iotas (per-tile
+    # origins folded in; value varies on the leading dim so no
+    # sublane+lane double broadcast is ever needed)
+    tb = (blk_i * tiles_blk
+          + jax.lax.broadcasted_iota(jnp.int32, (tiles_blk, sub, lpx), 0))
+    p = (jax.lax.broadcasted_iota(jnp.int32, (tiles_blk, sub, lpx), 1) * lpx
+         + jax.lax.broadcasted_iota(jnp.int32, (tiles_blk, sub, lpx), 2))
+    pxb = ((tb % tiles_x) * tile_w + p % tile_w).astype(jnp.float32) + 0.5
+    pyb = ((tb // tiles_x) * th + p // tile_w).astype(jnp.float32) + 0.5
+    cidx = jax.lax.broadcasted_iota(
+        jnp.int32, (tiles_blk, chunk, sub, lpx), 1)
+
+    maxcnt = counts_ref[blk_i * tiles_blk]
+    for b in range(1, tiles_blk):
+        maxcnt = jnp.maximum(maxcnt, counts_ref[blk_i * tiles_blk + b])
+    n_chunks = jnp.minimum((maxcnt + (chunk - 1)) // chunk,
+                           k_pad // chunk)
+
+    def walk(ci, carry):
+        zbuf, slotb = carry                    # [blk, sub, lpx]
+        base = pl.multiple_of(ci * chunk, chunk)
+        rows = tri_ref[:, pl.ds(base, chunk), :]   # [blk, chunk, PACK_CH]
+
+        def col(j):
+            # [blk, chunk] -> [blk, chunk, sub, 1]: sublane broadcast
+            # first; arithmetic below broadcasts lanes only
+            v = rows[:, :, j][:, :, None, None]
+            return jnp.broadcast_to(v, (tiles_blk, chunk, sub, 1))
+
+        x0, x1, x2 = col(ROW_X0), col(ROW_X1), col(ROW_X2)
+        y0, y1, y2 = col(ROW_Y0), col(ROW_Y1), col(ROW_Y2)
+        z0, z1, z2 = col(ROW_Z0), col(ROW_Z1), col(ROW_Z2)
+        okc = col(ROW_OK)
+        pxc = pxb[:, None]                     # [blk, 1, sub, lpx]
+        pyc = pyb[:, None]
+        # identical op sequence to raster._raster_tile chunk_depth
+        e0 = (x1 - x0) * (pyc - y0) - (y1 - y0) * (pxc - x0)
+        e1 = (x2 - x1) * (pyc - y1) - (y2 - y1) * (pxc - x1)
+        e2 = (x0 - x2) * (pyc - y2) - (y0 - y2) * (pxc - x2)
+        area = (x1 - x0) * (y2 - y0) - (y1 - y0) * (x2 - x0)
+        pos = (e0 >= 0) & (e1 >= 0) & (e2 >= 0)
+        neg = (e0 <= 0) & (e1 <= 0) & (e2 <= 0)
+        apos = area > 0
+        cover = (pos & apos) | (neg & ~apos)   # select-free (i1 select
+        inv_area = 1.0 / jnp.where(            # does not lower)
+            jnp.abs(area) > 1e-9, area, 1e-9)
+        w1 = e2 * inv_area
+        w2 = e0 * inv_area
+        w0 = 1.0 - w1 - w2
+        depth = w0 * z0 + w1 * z1 + w2 * z2    # [blk, chunk, sub, lpx]
+        ok = cover & (okc > 0.0) & (depth >= 0.0) & (depth <= 1.0)
+        depth = jnp.where(ok, depth, jnp.inf)
+        d_best = jnp.min(depth, axis=1)        # [blk, sub, lpx]
+        cand = jnp.where(depth == d_best[:, None], cidx, chunk)
+        best = jnp.min(cand, axis=1)
+        better = d_best < zbuf
+        zbuf = jnp.where(better, d_best, zbuf)
+        slotb = jnp.where(better, base + best, slotb)
+        return zbuf, slotb
+
+    zbuf = jnp.full((tiles_blk, sub, lpx), jnp.inf, jnp.float32)
+    slotb = jnp.full((tiles_blk, sub, lpx), -1, jnp.int32)
+    zbuf, slotb = jax.lax.fori_loop(0, n_chunks, walk, (zbuf, slotb))
+    depth_ref[...] = jnp.where(jnp.isfinite(zbuf), zbuf, 1.0)
+    slot_ref[...] = slotb
+
+
+def raster_walk_pallas(
+    counts: Array,     # i32[tiles] walked-slot count per tile
+    tri_pack: Array,   # f32[tiles, K_pad, PACK_CH]
+    px: int,
+    tile_w: int,
+    tiles_x: int,
+    chunk: int = 8,
+    tiles_blk: int = 8,
+    interpret: bool = False,
+):
+    """Visibility walk only -> (depth f32[tiles, px], slot i32[tiles, px]).
+
+    Pairs with the standalone one-hot resolve
+    (:func:`resolve_pallas.resolve_tiles_pallas_wide`) through the normal
+    tiled-shade path; replaces the XLA light/heavy two-pass scan."""
+    n_tiles, k_pad, _ = tri_pack.shape
+    blk = min(tiles_blk, n_tiles)
+    n_blocks = -(-n_tiles // blk)
+    t_pad = n_blocks * blk
+    sub = 8
+    lpx = px // sub
+
+    cnt_p = counts.astype(jnp.int32)
+    tri_p = tri_pack
+    if t_pad != n_tiles:
+        cnt_p = jnp.pad(cnt_p, (0, t_pad - n_tiles))
+        tri_p = jnp.pad(tri_pack,
+                        ((0, t_pad - n_tiles), (0, 0), (0, 0)))
+
+    dep, slot = pl.pallas_call(
+        functools.partial(_walk_kernel, chunk=chunk, k_pad=k_pad,
+                          tiles_blk=blk, px=px, tile_w=tile_w,
+                          tiles_x=tiles_x),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(n_blocks,),
+            in_specs=[pl.BlockSpec((blk, k_pad, PACK_CH),
+                                   lambda i, c: (i, 0, 0),
+                                   memory_space=pltpu.VMEM)],
+            out_specs=[
+                pl.BlockSpec((blk, sub, lpx), lambda i, c: (i, 0, 0)),
+                pl.BlockSpec((blk, sub, lpx), lambda i, c: (i, 0, 0)),
+            ],
+        ),
+        out_shape=[
+            jax.ShapeDtypeStruct((t_pad, sub, lpx), jnp.float32),
+            jax.ShapeDtypeStruct((t_pad, sub, lpx), jnp.int32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=96 * 1024 * 1024),
+        interpret=interpret,
+    )(cnt_p, tri_p)
+    return (dep.reshape(t_pad, px)[:n_tiles],
+            slot.reshape(t_pad, px)[:n_tiles])
+
+
 def pack_tile_triangles(sel_ids: Array, sx: Array, sy: Array, z: Array,
                         chunk: int = 8) -> tuple[Array, int]:
     """Build the kernel's packed per-tile triangle table.

@@ -128,12 +128,23 @@ def _resolve_wide_kernel(max_slot_ref, slot_ref, table_ref, out_ref, *,
     cols = []
     for b in range(tiles_blk):                       # static unroll
         slots = slot_ref[b, :]                       # i32[px] lane vector
-        kl_iota = jax.lax.broadcasted_iota(jnp.int32, (128, px), 0)
-        oh = (kl_iota == slots[None, :]).astype(jnp.float32)
-        acc = jnp.dot(table_ref[b, :, 0:128], oh,
-                      preferred_element_type=jnp.float32,
-                      precision=jax.lax.Precision.HIGHEST)
         ms = max_slot_ref[blk_i * tiles_blk + b]     # SMEM scalar
+
+        def base_chunk(_, slots=slots, b=b):
+            kl_iota = jax.lax.broadcasted_iota(jnp.int32, (128, px), 0)
+            oh = (kl_iota == slots[None, :]).astype(jnp.float32)
+            return jnp.dot(table_ref[b, :, 0:128], oh,
+                           preferred_element_type=jnp.float32,
+                           precision=jax.lax.Precision.HIGHEST)
+
+        # all-background tiles (max slot < 0: the sky) skip even the base
+        # chunk — the shade replaces background pixels with the clear
+        # color, so their resolved rows are never read (zeros match the
+        # no-pixel-matches one-hot result bit-exactly anyway)
+        acc = jax.lax.cond(
+            ms >= 0, base_chunk,
+            lambda _: jnp.zeros((table_ref.shape[1], px), jnp.float32),
+            0)
         for lo in range(128, kl_pad, 128):
             def wide_chunk(acc, lo=lo, slots=slots, b=b):
                 kli = lo + jax.lax.broadcasted_iota(

@@ -428,6 +428,14 @@ def shade_visibility_tiled(
 
     slim = tiled.b1 is None
     kl = min(shade_slots, tiled.ids.shape[1])
+    # walk-raster marker (EMPTY heavy list): every tile walked to the
+    # heavy width in one count-adaptive pass, so the resolve must cover
+    # that width for EVERY tile — there is no top-64 heavy subset to
+    # widen selectively (winners in [shade_slots, walk_width) would
+    # otherwise resolve to zero rows: black pixels on dense tiles)
+    if (tiled.heavy is not None and tiled.heavy.shape[0] == 0
+            and heavy_shade_slots > shade_slots):
+        kl = min(heavy_shade_slots, tiled.ids.shape[1])
     ids_kl = tiled.ids[:, :kl]
     if slim:
         # per-SUB-triangle table: each original triangle's channels

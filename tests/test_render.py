@@ -385,6 +385,56 @@ class TestDemoRender:
                                     shade_mode="fused")).astype(int)
         np.testing.assert_array_equal(a, b)
 
+    def test_walk_backend_matches_xla_slim(self, demo):
+        """The tile-vectorized Pallas visibility walk (interpret mode on
+        CPU) against the XLA light+heavy scan: slot/depth bit-equal and
+        the shaded frame bit-equal on the demo scene."""
+        from banggameengine_tpu.render import raster as rz
+        from banggameengine_tpu.render.cull import entity_frustum_mask
+
+        cam = Camera()
+        state = demo.initial_state
+        w, h = 320, 180
+        rs = demo.render
+        view = jnp.asarray(cam.view_matrix())
+        proj = jnp.asarray(cam.proj_matrix(w / h))
+        vis_ent = entity_frustum_mask(
+            rs.ent_aabb_min, rs.ent_aabb_max, rs.ent_has_mesh,
+            state.world, view, proj)
+        tri_valid = rs.tri_valid & vis_ent[rs.v_entity[::3]]
+        _, clip = rz.transform_vertices(
+            rs.v_pos, rs.v_entity, state.world, view, proj)
+        _, _, ts = rz.rasterize(clip, tri_valid, w, h, bin_capacity=2048,
+                                return_tiled=True, slim=True)
+        _, _, tw = rz.rasterize(clip, tri_valid, w, h, bin_capacity=2048,
+                                return_tiled=True, backend="walk")
+        np.testing.assert_array_equal(np.asarray(ts.slot),
+                                      np.asarray(tw.slot))
+        np.testing.assert_array_equal(np.asarray(ts.depth),
+                                      np.asarray(tw.depth))
+
+        args = (demo.render, state.world, view, cam.proj_matrix(w / h),
+                jnp.asarray(cam.position))
+        a = np.asarray(render_frame(*args, width=w, height=h)).astype(int)
+        b = np.asarray(render_frame(*args, width=w, height=h,
+                                    raster_backend="walk")).astype(int)
+        np.testing.assert_array_equal(a, b)
+
+        # dense-tile regime (zoomed onto the character mesh): winners land
+        # beyond the light shade width, exercising the walk-mode resolve
+        # widening (winners in [shade_slots, walk_width) once resolved to
+        # zero rows — black pixels — on exactly this kind of view)
+        from banggameengine_tpu import math3d
+
+        zview = math3d.mtx_look_at(jnp.asarray([0.0, 7.1, -6.0]),
+                                   jnp.asarray([0.0, 7.0, -5.0]))
+        zargs = (demo.render, state.world, zview, cam.proj_matrix(w / h),
+                 jnp.asarray(cam.position))
+        a = np.asarray(render_frame(*zargs, width=w, height=h)).astype(int)
+        b = np.asarray(render_frame(*zargs, width=w, height=h,
+                                    raster_backend="walk")).astype(int)
+        np.testing.assert_array_equal(a, b)
+
     def test_pallas_resolve_matches_xla_resolve(self, demo):
         """The VMEM one-hot resolve kernel (interpret mode on CPU) is
         bit-exact against the XLA einsum resolve."""
