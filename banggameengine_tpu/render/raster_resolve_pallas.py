@@ -1,6 +1,13 @@
 """Fused Pallas TPU kernel: tile visibility raster + one-hot attribute
 resolve in ONE kernel — the depth/slot planes never round-trip HBM.
 
+Together with ``raster.py``/``shading.py`` this replaces the reference's
+GPU submission path (``/root/reference/src/render/Renderer.cpp:601-730``,
+per-submesh draws into a D3D11 device via bgfx) with TPU-native software
+rasterization; there is no reference counterpart to the kernels
+themselves — a GPU's fixed-function rasterizer is the thing being
+re-imagined for the MXU/VPU.
+
 This executes the round-4 verdict's "standing exception": the XLA tile
 scan writes (depth, slot) to HBM and the Pallas resolve reads them back,
 with the scan ALSO carrying its planes through HBM on every chunk
